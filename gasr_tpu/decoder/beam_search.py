@@ -1,0 +1,337 @@
+"""Batched CTC beam search as a fixed-shape XLA tensor program.
+
+TPU-native re-imagination of the reference GPU decoder (CTCBeamSearch.cu).
+Where the reference launches ~15 kernels + Thrust segmented sorts + a host
+pointer-building loop per audio frame (.cu:519-595), this entire decode is
+ONE jitted `lax.scan` whose per-frame body is: candidate expansion ->
+multi-key sort -> segment merge -> top-k prune. Zero host round trips.
+
+Two algorithms share the machinery:
+
+- "prefix" (default): textbook CTC prefix beam search, log-space,
+  (p_blank, p_nonblank) per collapsed prefix — semantics of the
+  ctcdecode.CTCBeamDecoder the baseline uses (baseline/main.py:28).
+- "reference": the reference's exact algorithm (blank-annotated paths,
+  single score per hypothesis, merge-by-sum, post-merge prune,
+  final-frame trailing-blank strip — kernelGenNextPaths .cu:404-458).
+  Because the extension rules never produce an interior blank, a
+  hypothesis is exactly (collapsed prefix, trailing_blank flag); this is
+  what makes the fixed-shape formulation possible.
+
+Key design decisions (vs the reference):
+  - Hypothesis identity: the reference sorts paths lexicographically on
+    device strings to group identical paths (batchSortbyStr .cu:149-172,
+    the host loop at .cu:535-541 being its worst hotspot). We use TWO
+    independent 32-bit rolling hashes updated incrementally on append —
+    prefixes are append-only, so no string storage is needed in the hot
+    loop. Simultaneous collision probability is ~2^-64 per candidate
+    pair (~1e-12 per frame at W=100, V=47): documented, negligible.
+  - Merge: sort candidates by (h1, h2, flag) with `lax.sort`
+    (num_keys=3), flag run boundaries, `segment_sum`/logsumexp — a
+    deterministic replacement for the reference's nondeterministic
+    float atomicAdd merge (.cu:488).
+  - Prune: `lax.top_k` AFTER merging (reference order .cu:567-576).
+    Tie-break: stable by position in the hash-sorted candidate order
+    (the reference inherits thrust::stable_sort order; ours is equally
+    deterministic, documented here).
+  - Tokens are NOT materialized during the scan. The scan records
+    backpointers (parent slot, emitted char, appended?) per frame —
+    O(B*W) state — and transcripts are reconstructed afterwards by a
+    reverse scan + scatter. The reference instead copies the full
+    256-char path per candidate per frame (memcpy in .cu:428).
+  - Dead beam slots are masked (flag=2 key space, sentinel scores), not
+    counted (reference tracks batchNumPaths on device, .cu:103-135).
+  - Overflow: paths longer than max_len set a per-beam overflow flag and
+    keep the TAIL; the reference silently corrupts at 256 chars
+    (TODO at .cu:403).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+NEG_INF = -1.0e30          # finite -inf stand-in (avoids nan arithmetic)
+DEAD_KEY_LOG = -3.0e38     # sort key for dead/duplicate slots, log domain
+DEAD_KEY_PROB = -1.0       # ... prob domain (below any real prob >= 0)
+H_SEED = np.uint32(2166136261)
+M1 = np.uint32(1000003)
+M2 = np.uint32(16777619)
+
+
+class BeamSearchResult(NamedTuple):
+    tokens: jax.Array    # [B, W, max_len] int32, -1 padded
+    lengths: jax.Array   # [B, W] int32
+    scores: jax.Array    # [B, W] float32: log(p) ("prefix"/log "reference")
+                         # or raw summed prob ("reference" prob_domain)
+    overflow: jax.Array  # [B, W] bool: path exceeded max_len (tail kept)
+
+
+class _BeamState(NamedTuple):
+    h1: jax.Array        # [B, W] uint32 prefix hash 1
+    h2: jax.Array        # [B, W] uint32 prefix hash 2
+    last: jax.Array      # [B, W] int32 last char (-1 if empty)
+    length: jax.Array    # [B, W] int32 collapsed prefix length
+    tb: jax.Array        # [B, W] int32 trailing-blank flag (reference mode)
+    live: jax.Array      # [B, W] bool
+    s1: jax.Array        # [B, W] f32: p_b (prefix) | score (reference)
+    s2: jax.Array        # [B, W] f32: p_nb (prefix) | unused
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    lo = jnp.minimum(a, b)
+    # safe when both are NEG_INF-ish: exp of huge negative -> 0
+    return m + jnp.log1p(jnp.exp(jnp.maximum(lo - m, -80.0)) *
+                         (lo - m > -80.0))
+
+
+def _segment_logsumexp(s, seg, num_segments):
+    m = jax.ops.segment_max(s, seg, num_segments=num_segments)
+    mc = m[seg]
+    contrib = jnp.where(s - mc > -80.0, jnp.exp(jnp.maximum(s - mc, -80.0)),
+                        0.0)
+    tot = jax.ops.segment_sum(contrib, seg, num_segments=num_segments)
+    return jnp.where(m > NEG_INF * 0.5, m + jnp.log(jnp.maximum(tot, 1e-37)),
+                     NEG_INF)
+
+
+def _merge_row(k1, k2, k3, payload_scores, log_domain):
+    """Merge one row of N candidates by identity keys.
+
+    Returns (perm, first, merged_scores_per_candidate...) where merged
+    scores are aligned with the sorted order.
+    """
+    N = k1.shape[0]
+    iota = lax.iota(jnp.int32, N)
+    sorted_ops = lax.sort((k1, k2, k3, iota), num_keys=3, is_stable=True)
+    perm = sorted_ops[3]
+    sk1, sk2, sk3 = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1]) | (sk3[1:] != sk3[:-1]),
+    ])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    merged = []
+    for s in payload_scores:
+        ss = s[perm]
+        if log_domain:
+            mseg = _segment_logsumexp(ss, seg, N)
+        else:
+            mseg = jax.ops.segment_sum(ss, seg, num_segments=N)
+        merged.append(mseg[seg])
+    return perm, first, merged
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beam_width", "blank_id", "max_len", "algorithm", "prob_domain"))
+def ctc_beam_search(
+    log_probs: jax.Array,
+    beam_width: int,
+    blank_id: int = 0,
+    max_len: int = 256,
+    algorithm: str = "prefix",
+    prob_domain: bool = False,
+) -> BeamSearchResult:
+    """Batched CTC beam search.
+
+    log_probs: [T, B, V] time-major log-probabilities — or raw
+    probabilities when (algorithm="reference", prob_domain=True), which
+    bit-matches the CUDA reference's multiplicative scoring including its
+    long-T underflow behavior.
+
+    Returns a BeamSearchResult with the beams sorted best-first per
+    example. tokens contain collapsed symbol ids (never blank), -1 padded.
+    """
+    if algorithm not in ("prefix", "reference"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if prob_domain and algorithm != "reference":
+        raise ValueError("prob_domain is only for algorithm='reference'")
+    log_domain = not prob_domain
+
+    T, B, V = log_probs.shape
+    W = beam_width
+    N = W * V
+    dead_key = DEAD_KEY_LOG if log_domain else DEAD_KEY_PROB
+    zero_score = 0.0 if log_domain else 1.0
+    null_score = NEG_INF if log_domain else 0.0
+
+    slot = jnp.arange(W, dtype=jnp.int32)
+    init = _BeamState(
+        h1=jnp.broadcast_to(jnp.where(slot == 0, H_SEED,
+                                      np.uint32(0)), (B, W)),
+        h2=jnp.broadcast_to(jnp.where(slot == 0, H_SEED,
+                                      slot.astype(jnp.uint32)), (B, W)),
+        last=jnp.full((B, W), -1, jnp.int32),
+        length=jnp.zeros((B, W), jnp.int32),
+        tb=jnp.zeros((B, W), jnp.int32),
+        live=jnp.broadcast_to(slot == 0, (B, W)),
+        s1=jnp.broadcast_to(jnp.where(slot == 0, zero_score, null_score),
+                            (B, W)).astype(jnp.float32),
+        s2=jnp.full((B, W), NEG_INF if log_domain else 0.0, jnp.float32),
+    )
+
+    vs = jnp.arange(V, dtype=jnp.int32)          # [V]
+    is_blank_v = (vs == blank_id)
+
+    def frame_step(state: _BeamState, inputs):
+        f, is_last = inputs                      # f: [B, V]
+        # ---- candidate construction: [B, W, V] ----
+        h1 = state.h1[:, :, None]
+        h2 = state.h2[:, :, None]
+        last = state.last[:, :, None]
+        length = state.length[:, :, None]
+        tb = state.tb[:, :, None]
+        live = state.live[:, :, None]
+        fv = f[:, None, :]                       # [B, 1, V]
+
+        vb = is_blank_v[None, None, :]
+        v3 = vs[None, None, :]
+        vp1 = (vs + 1).astype(jnp.uint32)[None, None, :]
+
+        if algorithm == "reference":
+            collapse = (~vb) & (tb == 0) & (last == v3) & (length > 0)
+            append = jnp.broadcast_to((~vb) & (~collapse), (B, W, V))
+            new_tb = jnp.where(vb & (~is_last), 1, 0).astype(jnp.int32)
+            new_tb = jnp.broadcast_to(new_tb, (B, W, V))
+            c_s1 = (state.s1[:, :, None] + fv if log_domain
+                    else state.s1[:, :, None] * fv)
+            c_s2 = jnp.broadcast_to(
+                jnp.float32(NEG_INF if log_domain else 0.0), (B, W, V))
+        else:
+            # "stay" candidates occupy the blank column: blank transition
+            # plus the collapse (repeat) contribution.
+            total = _logaddexp(state.s1, state.s2)[:, :, None]   # [B,W,1]
+            f_last = jnp.take_along_axis(
+                f, jnp.clip(state.last, 0, V - 1), axis=1)[:, :, None]
+            stay_pb = total + fv                  # valid at blank column
+            stay_pnb = state.s2[:, :, None] + f_last
+            ext_base = jnp.where(last == v3, state.s1[:, :, None], total)
+            ext_pnb = ext_base + fv
+            c_s1 = jnp.where(vb, stay_pb, NEG_INF)
+            c_s2 = jnp.where(vb, stay_pnb, ext_pnb)
+            append = jnp.broadcast_to(~vb, (B, W, V))
+            new_tb = jnp.zeros((B, W, V), jnp.int32)
+
+        nh1 = jnp.where(append, h1 * M1 + vp1, h1)
+        nh2 = jnp.where(append, h2 * M2 + vp1, h2)
+        n_last = jnp.where(append, v3, last)
+        n_len = length + append.astype(jnp.int32)
+
+        # identity flag: tb (0/1) for live, 2 for dead (disjoint keyspace)
+        liveb = jnp.broadcast_to(live, (B, W, V))
+        flag = jnp.where(liveb, new_tb, 2)
+        cand_idx = lax.broadcasted_iota(jnp.int32, (B, W, V), 1) * V + \
+            lax.broadcasted_iota(jnp.int32, (B, W, V), 2)
+        nh1 = jnp.where(liveb, nh1, np.uint32(0xFFFFFFFF))
+        nh2 = jnp.where(liveb, nh2, cand_idx.astype(jnp.uint32))
+        c_s1 = jnp.where(liveb, c_s1, null_score)
+        c_s2 = jnp.where(liveb, c_s2, NEG_INF if log_domain else 0.0)
+
+        parent = lax.broadcasted_iota(jnp.int32, (B, W, V), 1)
+
+        # ---- flatten and merge per row ----
+        def flat(x):
+            return x.reshape(B, N)
+        k1, k2, k3 = flat(nh1), flat(nh2), flat(flag)
+        scores = (flat(c_s1), flat(c_s2))
+
+        perm, first, merged = jax.vmap(
+            functools.partial(_merge_row, log_domain=log_domain)
+        )(k1, k2, k3, scores)
+
+        def g(x):                                 # gather into sorted order
+            return jnp.take_along_axis(flat(x), perm, axis=1)
+
+        live_s = g(liveb)
+        if algorithm == "reference":
+            rank = merged[0]
+        else:
+            rank = _logaddexp(merged[0], merged[1])
+        topk_key = jnp.where(first & live_s, rank, dead_key)
+
+        _, idx_sel = lax.top_k(topk_key, W)       # [B, W]
+
+        def sel(x_sorted):
+            return jnp.take_along_axis(x_sorted, idx_sel, axis=1)
+
+        new_live = sel(first & live_s)
+        ns1 = jnp.where(new_live, sel(merged[0]), null_score)
+        ns2 = jnp.where(new_live, sel(merged[1]),
+                        NEG_INF if log_domain else 0.0)
+        new_state = _BeamState(
+            h1=sel(g(nh1)), h2=sel(g(nh2)),
+            last=sel(g(n_last)), length=sel(g(n_len)),
+            tb=sel(g(jnp.broadcast_to(new_tb, (B, W, V)))),
+            live=new_live, s1=ns1, s2=ns2,
+        )
+        ys = (sel(g(parent)), sel(g(n_last)), sel(g(append)))
+        return new_state, ys
+
+    is_last_arr = jnp.zeros((T,), jnp.bool_)
+    if algorithm == "reference" and T > 1:
+        # reference strips trailing blanks only on the final frame of the
+        # t=1..T-1 loop (.cu:278-281); T==1 never strips.
+        is_last_arr = is_last_arr.at[T - 1].set(True)
+
+    final, (parents, chars, appendeds) = lax.scan(
+        frame_step, init, (log_probs, is_last_arr))
+
+    # ---- transcript reconstruction: reverse walk over backpointers ----
+    L = max_len
+    overflow = final.length > L
+    pos0 = jnp.minimum(final.length, L)
+
+    def backstep(carry, y):
+        cur, pos = carry                          # [B, W] each
+        parent_t, char_t, app_t = y
+
+        def take(x):
+            return jnp.take_along_axis(x, cur, axis=1)
+        a = take(app_t)
+        c = take(char_t)
+        p = take(parent_t)
+        emit_pos = jnp.where(a, pos - 1, L)       # L = discard slot
+        emit_pos = jnp.where(emit_pos < 0, L, emit_pos)
+        new_pos = jnp.where(a, pos - 1, pos)
+        return (p, new_pos), (jnp.where(a, c, -1), emit_pos)
+
+    cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
+    _, (tok_vals, tok_pos) = lax.scan(
+        backstep, (cur0, pos0), (parents, chars, appendeds), reverse=True)
+
+    # scatter [T, B, W] emissions into [B, W, L+1]
+    tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, T]
+    tok_pos = jnp.moveaxis(tok_pos, 0, -1)
+
+    def fill(vals, pos):                          # [T] -> [L+1]
+        out = jnp.full((L + 1,), -1, jnp.int32)
+        return out.at[pos].set(vals, mode="drop")
+    tokens = jax.vmap(jax.vmap(fill))(tok_vals, tok_pos)[:, :, :L]
+
+    scores = (_logaddexp(final.s1, final.s2) if algorithm == "prefix"
+              else final.s1)
+    scores = jnp.where(final.live, scores, null_score)
+    lengths = jnp.where(final.live, jnp.minimum(final.length, L), 0)
+    return BeamSearchResult(tokens=tokens, lengths=lengths,
+                            scores=scores, overflow=overflow & final.live)
+
+
+def decode_to_lists(result: BeamSearchResult, top: int = 1):
+    """Host-side: result -> list (per example) of (token_list, score)."""
+    tokens = np.asarray(result.tokens)
+    lengths = np.asarray(result.lengths)
+    scores = np.asarray(result.scores)
+    out = []
+    for b in range(tokens.shape[0]):
+        beams = []
+        for w in range(min(top, tokens.shape[1])):
+            n = int(lengths[b, w])
+            beams.append((tokens[b, w, :n].tolist(), float(scores[b, w])))
+        out.append(beams if top > 1 else beams[0])
+    return out

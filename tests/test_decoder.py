@@ -1,0 +1,171 @@
+"""Decoder correctness: fixtures, oracle cross-checks, parity sweeps."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gasr_tpu.decoder import ctc_beam_search, greedy_decode
+from gasr_tpu.decoder.beam_search import decode_to_lists
+from gasr_tpu.decoder.numpy_oracle import (
+    greedy_decode_np, prefix_beam_search_np, reference_beam_search_np,
+)
+
+# The reference's decoder smoke-test fixture (main.cpp:51-60): 10 frames,
+# vocab {'$','a','b','c'} blank-first, beam=2, batch=1.
+FIXTURE = np.array([
+    [0.36225085, 0.09518672, 0.08850375, 0.45405867],
+    [0.08869431, 0.18445025, 0.3304224, 0.39643304],
+    [0.09951598, 0.17646984, 0.42063249, 0.30338169],
+    [0.15361776, 0.46521112, 0.18132693, 0.19984419],
+    [0.33478711, 0.16607367, 0.29571415, 0.20342507],
+    [0.01292992, 0.36438928, 0.00184853, 0.62083227],
+    [0.34142441, 0.16742833, 0.38500542, 0.10614183],
+    [0.4443139, 0.12738693, 0.36856127, 0.0597379],
+    [0.37673064, 0.13478024, 0.2735787, 0.21491042],
+    [0.34790623, 0.04654182, 0.34069546, 0.26485648],
+], dtype=np.float32)
+VOCAB = "$abc"
+
+
+def to_str(ids):
+    return "".join(VOCAB[i] for i in ids)
+
+
+def rand_logprobs(rng, T, B, V):
+    x = rng.standard_normal((T, B, V)).astype(np.float32)
+    x = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    return x
+
+
+# ---------------- oracle self-checks ----------------
+
+def test_reference_oracle_on_fixture():
+    """Decode the main.cpp fixture with the reference-algorithm oracle."""
+    ids, score = reference_beam_search_np(FIXTURE, beam_width=2, blank_id=0)
+    assert 0 < len(ids) <= 10
+    assert all(i != 0 for i in ids)
+    assert 0.0 < score < 1.0
+    # beam=2 prob-domain result must be reproducible in log domain
+    ids_log, score_log = reference_beam_search_np(
+        np.log(FIXTURE), beam_width=2, blank_id=0, log_space=True)
+    assert ids_log == ids
+    np.testing.assert_allclose(np.exp(score_log), score, rtol=1e-5)
+
+
+def test_prefix_oracle_large_beam_equals_reference_large_beam():
+    """With beam >> state space both algorithms are exact sums over the
+    same alignment partition refinement, so the argmax transcript of the
+    prefix algorithm must equal the blank-annotated algorithm's (the
+    latter splits each prefix into (.., tb=0/1) which merge on the final
+    strip)."""
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        lp = rand_logprobs(rng, 6, 1, 3)[:, 0]
+        ids_ref, _ = reference_beam_search_np(
+            lp, beam_width=4000, blank_id=0, log_space=True)
+        ids_pfx, _ = prefix_beam_search_np(lp, beam_width=4000, blank_id=0)
+        assert ids_ref == ids_pfx
+
+
+# ---------------- JAX vs oracle ----------------
+
+@pytest.mark.parametrize("algorithm", ["reference", "prefix"])
+def test_jax_matches_oracle_fixture(algorithm):
+    lp = np.log(FIXTURE)[:, None, :]             # [T, 1, V]
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=2, blank_id=0,
+                          max_len=16, algorithm=algorithm)
+    (ids, score) = decode_to_lists(res)[0]
+    if algorithm == "reference":
+        want_ids, want_score = reference_beam_search_np(
+            np.log(FIXTURE), 2, 0, log_space=True)
+    else:
+        want_ids, want_score = prefix_beam_search_np(np.log(FIXTURE), 2, 0)
+    assert ids == want_ids
+    np.testing.assert_allclose(score, want_score, rtol=1e-4)
+
+
+def test_jax_reference_prob_domain_matches_cuda_semantics():
+    """prob_domain=True multiplies raw probabilities exactly like
+    CTCBeamSearch.cu:429."""
+    res = ctc_beam_search(jnp.asarray(FIXTURE[:, None, :]), beam_width=2,
+                          blank_id=0, max_len=16, algorithm="reference",
+                          prob_domain=True)
+    ids, score = decode_to_lists(res)[0]
+    want_ids, want_score = reference_beam_search_np(FIXTURE, 2, 0)
+    assert ids == want_ids
+    np.testing.assert_allclose(score, want_score, rtol=1e-5)
+
+
+@pytest.mark.parametrize("algorithm,W,V,T", [
+    ("reference", 2, 4, 10), ("reference", 4, 5, 7), ("reference", 8, 6, 12),
+    ("prefix", 2, 4, 10), ("prefix", 4, 5, 7), ("prefix", 8, 6, 12),
+    ("prefix", 16, 29, 20), ("reference", 16, 29, 20),
+])
+def test_jax_matches_oracle_random_sweep(algorithm, W, V, T):
+    rng = np.random.default_rng(hash((algorithm, W, V, T)) % 2**31)
+    B = 3
+    lp = rand_logprobs(rng, T, B, V)
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=W, blank_id=0,
+                          max_len=64, algorithm=algorithm)
+    outs = decode_to_lists(res)
+    for b in range(B):
+        if algorithm == "reference":
+            want_ids, want_score = reference_beam_search_np(
+                lp[:, b], W, 0, log_space=True)
+        else:
+            want_ids, want_score = prefix_beam_search_np(lp[:, b], W, 0)
+        ids, score = outs[b]
+        assert ids == want_ids, f"batch {b}: {ids} != {want_ids}"
+        np.testing.assert_allclose(score, want_score, rtol=1e-3,
+                                   err_msg=f"batch {b}")
+
+
+def test_beam_results_sorted_and_unique():
+    rng = np.random.default_rng(7)
+    lp = rand_logprobs(rng, 15, 2, 6)
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=8, blank_id=0,
+                          max_len=32, algorithm="prefix")
+    scores = np.asarray(res.scores)
+    for b in range(2):
+        live = scores[b] > -1e29
+        s = scores[b][live]
+        assert (np.diff(s) <= 1e-6).all(), "beams must be sorted best-first"
+        # prefixes must be unique within the beam
+        toks = [tuple(np.asarray(res.tokens)[b, w, :res.lengths[b, w]])
+                for w in range(8) if live[w]]
+        assert len(set(toks)) == len(toks)
+
+
+def test_overflow_flag():
+    """A path longer than max_len sets overflow and keeps the tail."""
+    # alternating symbols, no blanks -> path grows every frame
+    T, V = 12, 3
+    lp = np.full((T, 1, V), -20.0, np.float32)
+    for t in range(T):
+        lp[t, 0, 1 + t % 2] = -0.01
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=2, blank_id=0,
+                          max_len=4, algorithm="prefix")
+    assert bool(res.overflow[0, 0])
+    assert int(res.lengths[0, 0]) == 4
+    toks = np.asarray(res.tokens)[0, 0, :4]
+    want = [1 + t % 2 for t in range(T)][-4:]
+    assert toks.tolist() == want
+
+
+# ---------------- greedy ----------------
+
+def test_greedy_matches_numpy():
+    rng = np.random.default_rng(3)
+    lp = rand_logprobs(rng, 20, 4, 6)
+    tokens, lengths = greedy_decode(jnp.asarray(lp), blank_id=0)
+    for b in range(4):
+        want = greedy_decode_np(lp[:, b], blank_id=0)
+        n = int(lengths[b])
+        assert np.asarray(tokens)[b, :n].tolist() == want
+
+
+def test_greedy_empty():
+    lp = np.full((5, 2, 4), -10.0, np.float32)
+    lp[:, :, 0] = -0.01                            # all blank
+    tokens, lengths = greedy_decode(jnp.asarray(lp), blank_id=0)
+    assert lengths.tolist() == [0, 0]
