@@ -1,0 +1,175 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Protocol (BASELINE.md): the reference's harness splits Forward / CTC
+Decode / Overall per iteration on the flagship workload
+(baseline/config.json: B=256, feat 78, T=200, linear/hidden 2048,
+vocab 46+1, beam 100). We measure our TPU pipeline the same way and
+report audio-seconds/s/chip (10 ms frame shift -> T=200 frames = 2 s
+audio per utterance).
+
+vs_baseline: ratio of our overall throughput to the PyTorch baseline
+twin measured on this machine (torch CPU forward, reference config 1;
+decode via the native C++ beam decoder when built, else forward-only —
+which *understates* our advantage). The baseline measurement is cached
+in .bench_baseline.json.
+
+Usage: python bench.py [--small] [--no-decode] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+FRAME_SHIFT_S = 0.01  # standard 10 ms hop
+
+
+def measure_ours(cfg, iters: int, decode: bool = True):
+    import jax
+    import jax.numpy as jnp
+    from gasr_tpu.models import model_apply, model_init
+    from gasr_tpu.decoder import ctc_beam_search
+
+    params = model_init(cfg, jax.random.PRNGKey(0))
+
+    fwd = jax.jit(lambda p, x: model_apply(cfg, p, x))
+
+    def dec(lp):
+        return ctc_beam_search(lp, beam_width=cfg.beam_width,
+                               blank_id=cfg.blank_id,
+                               max_len=cfg.decode_max_len,
+                               algorithm="prefix")
+
+    # warmup/compile
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(
+        key, (cfg.batch_size, cfg.seg_len, cfg.feat_size))
+    lp = jax.block_until_ready(fwd(params, x))
+    if decode:
+        jax.block_until_ready(dec(lp))
+
+    t_fwd = t_dec = t_all = 0.0
+    for i in range(iters):
+        key, k1 = jax.random.split(key)
+        x = jax.block_until_ready(jax.random.uniform(
+            k1, (cfg.batch_size, cfg.seg_len, cfg.feat_size)))
+        t0 = time.perf_counter()
+        lp = jax.block_until_ready(fwd(params, x))
+        t1 = time.perf_counter()
+        if decode:
+            res = jax.block_until_ready(dec(lp))
+        t2 = time.perf_counter()
+        t_fwd += t1 - t0
+        t_dec += t2 - t1
+        t_all += t2 - t0
+    return {"forward_s": t_fwd / iters, "decode_s": t_dec / iters,
+            "overall_s": t_all / iters}
+
+
+def measure_torch_baseline(cfg, iters: int, cache_path: str):
+    """PyTorch twin on CPU (reference config 1: 4 threads)."""
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return json.load(f)
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception:
+        return None
+    torch.set_num_threads(cfg.num_threads)
+
+    feat, L, H, out = cfg.feat_size, cfg.linear_size, cfg.rnn_hidden_size, \
+        cfg.output_size
+    model = nn.Sequential()  # assembled manually to mirror model.py
+    mlp123 = nn.Sequential(nn.Linear(feat, L), nn.ReLU(),
+                           nn.Linear(L, L), nn.ReLU(),
+                           nn.Linear(L, H), nn.ReLU())
+    rnn = nn.RNN(H, H, num_layers=1)
+    mlp56 = nn.Sequential(nn.Linear(H, L), nn.ReLU(), nn.Linear(L, out))
+
+    def forward(x):
+        b, t = x.size(0), x.size(1)
+        x = x.permute(1, 0, 2).reshape(t * b, -1)
+        x = mlp123(x).reshape(t, b, -1)
+        x, _ = rnn(x)
+        x = mlp56(x.reshape(t * b, -1))
+        return x.reshape(t, b, -1).log_softmax(2)
+
+    # decode: native C++ CPU decoder if built (ctcdecode stand-in)
+    native_decode = None
+    try:
+        from gasr_tpu.native import cpu_beam_decode_batch
+        native_decode = cpu_beam_decode_batch
+    except Exception:
+        pass
+
+    t_fwd = t_dec = 0.0
+    with torch.no_grad():
+        out_t = forward(torch.rand(cfg.batch_size, cfg.seg_len, feat))
+        for i in range(iters):
+            x = torch.rand(cfg.batch_size, cfg.seg_len, feat)
+            t0 = time.perf_counter()
+            lp = forward(x)
+            t1 = time.perf_counter()
+            if native_decode is not None:
+                native_decode(lp.numpy(), cfg.beam_width, cfg.blank_id,
+                              num_threads=cfg.num_threads)
+            t2 = time.perf_counter()
+            t_fwd += t1 - t0
+            t_dec += t2 - t1
+    result = {"forward_s": t_fwd / iters, "decode_s": t_dec / iters,
+              "overall_s": (t_fwd + t_dec) / iters,
+              "decode_included": native_decode is not None}
+    with open(cache_path, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="reduced workload for smoke testing")
+    ap.add_argument("--no-decode", action="store_true")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--baseline-iters", type=int, default=2)
+    args = ap.parse_args()
+
+    from gasr_tpu.config import Config
+    if args.small:
+        cfg = Config(batch_size=8, linear_size=256, rnn_hidden_size=256,
+                     seg_len=50, beam_width=10, epoch=3)
+    else:
+        cfg = Config()  # flagship: reference config shapes
+    iters = args.iters or cfg.epoch
+
+    ours = measure_ours(cfg, iters, decode=not args.no_decode)
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_baseline.json" +
+                         (".small" if args.small else ""))
+    base = measure_torch_baseline(cfg, args.baseline_iters, cache)
+
+    audio_s_per_iter = cfg.batch_size * cfg.seg_len * FRAME_SHIFT_S
+    value = audio_s_per_iter / ours["overall_s"]
+    vs = (base["overall_s"] / ours["overall_s"]) if base else None
+
+    detail = {"ours": ours, "baseline": base,
+              "config": {"batch_size": cfg.batch_size,
+                         "seg_len": cfg.seg_len,
+                         "hidden": cfg.rnn_hidden_size,
+                         "beam_width": cfg.beam_width},
+              "rtf_per_chip": value}
+    print(json.dumps({
+        "metric": "audio-seconds/s/chip (fwd+beam decode)",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": detail,
+    }))
+
+
+if __name__ == "__main__":
+    main()

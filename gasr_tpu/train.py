@@ -1,0 +1,102 @@
+"""Training step and loop.
+
+The reference is inference-only (SURVEY.md §0: transpose GEMMs declared
+for a backward pass but never called). A complete framework trains: CTC
+loss over the acoustic model, optax optimizer, jit-compiled step that
+shards over a ('data', 'model') mesh via GSPMD annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gasr_tpu.config import Config
+from gasr_tpu.models import model_apply, model_init
+from gasr_tpu.ops.ctc_loss import ctc_loss
+from gasr_tpu.parallel.sharding import (
+    batch_specs, deepspeech_param_specs, shard_tree)
+
+
+def make_optimizer(learning_rate: float = 3e-4,
+                   weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(config: Config,
+                    optimizer: optax.GradientTransformation):
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state,
+    metrics). Pure; jit/pjit it with shardings of your choice."""
+
+    def loss_fn(params, batch):
+        lp = model_apply(config, params, batch["inputs"])      # [T, B, V+1]
+        losses = ctc_loss(lp, batch["labels"], batch["input_lengths"],
+                          batch["label_lengths"], blank_id=config.blank_id)
+        norm = jnp.maximum(batch["label_lengths"].astype(jnp.float32), 1.0)
+        return (losses / norm).mean()
+
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_sharded_train_step(config: Config, mesh: Mesh,
+                            optimizer: Optional[
+                                optax.GradientTransformation] = None,
+                            key: Optional[jax.Array] = None):
+    """Build (jitted step, sharded params, sharded opt_state).
+
+    Params are GSPMD-sharded per deepspeech_param_specs; the batch arrives
+    data-parallel. XLA inserts the ICI collectives.
+    """
+    optimizer = optimizer or make_optimizer()
+    key = key if key is not None else jax.random.PRNGKey(config.seed)
+
+    params = model_init(config, key)
+    pspecs = deepspeech_param_specs(params)
+    params = shard_tree(params, pspecs, mesh)
+    opt_state = optimizer.init(params)
+
+    step = make_train_step(config, optimizer)
+    bspecs = batch_specs()
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(
+            jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                         is_leaf=lambda x: isinstance(x, P)),
+            None,  # opt_state shardings: let XLA propagate from params
+            jax.tree.map(lambda s: NamedSharding(mesh, s), bspecs,
+                         is_leaf=lambda x: isinstance(x, P)),
+        ),
+        donate_argnums=(0, 1),
+    )
+    return jit_step, params, opt_state
+
+
+def synthetic_batch(config: Config, key: jax.Array, max_label_len: int = 20
+                    ) -> Dict[str, jax.Array]:
+    """Random batch in the training-batch schema (synthetic workload,
+    mirroring the baseline harness's random inputs, baseline/main.py:39)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    B, T = config.batch_size, config.seg_len
+    S = max_label_len
+    return {
+        "inputs": jax.random.uniform(k1, (B, T, config.feat_size)),
+        "labels": jax.random.randint(k2, (B, S), 1, config.output_size),
+        "input_lengths": jnp.full((B,), T, jnp.int32),
+        "label_lengths": jax.random.randint(k4, (B,), S // 2, S + 1),
+    }
