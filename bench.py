@@ -27,6 +27,25 @@ import time
 FRAME_SHIFT_S = 0.01  # standard 10 ms hop
 
 
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    """Force real device completion.
+
+    jax.block_until_ready alone does NOT synchronize under the remote-TPU
+    (axon) tunnel — dispatch returns 'ready' immediately. A device->host
+    fetch of a value derived from the output is the only reliable fence,
+    so all timings here close with one.
+    """
+    import jax
+    import numpy as np
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def measure_ours(cfg, iters: int, decode: bool = True):
     import jax
     import jax.numpy as jnp
@@ -44,29 +63,40 @@ def measure_ours(cfg, iters: int, decode: bool = True):
                                algorithm="prefix")
 
     # warmup/compile
+    _log("generating inputs")
     key = jax.random.PRNGKey(1)
-    x = jax.random.uniform(
-        key, (cfg.batch_size, cfg.seg_len, cfg.feat_size))
-    lp = jax.block_until_ready(fwd(params, x))
-    if decode:
-        jax.block_until_ready(dec(lp))
-
-    t_fwd = t_dec = t_all = 0.0
+    xs = []
     for i in range(iters):
         key, k1 = jax.random.split(key)
-        x = jax.block_until_ready(jax.random.uniform(
+        xs.append(jax.random.uniform(
             k1, (cfg.batch_size, cfg.seg_len, cfg.feat_size)))
+    _sync(xs)
+    _log("compiling forward")
+    lp = fwd(params, xs[0])
+    _sync(lp)
+    if decode:
+        _log("compiling decode")
+        _sync(dec(lp))
+    _log("warmup done, timing")
+
+    # timed loops: N dispatches then one hard sync (throughput protocol;
+    # the async queue pipelines like production serving would)
+    t0 = time.perf_counter()
+    lps = [fwd(params, x) for x in xs]
+    _sync(lps[-1])
+    t1 = time.perf_counter()
+    t_fwd = (t1 - t0) / iters
+
+    t_dec = 0.0
+    if decode:
         t0 = time.perf_counter()
-        lp = jax.block_until_ready(fwd(params, x))
+        results = [dec(l) for l in lps]
+        _sync(results[-1])
         t1 = time.perf_counter()
-        if decode:
-            res = jax.block_until_ready(dec(lp))
-        t2 = time.perf_counter()
-        t_fwd += t1 - t0
-        t_dec += t2 - t1
-        t_all += t2 - t0
-    return {"forward_s": t_fwd / iters, "decode_s": t_dec / iters,
-            "overall_s": t_all / iters}
+        t_dec = (t1 - t0) / iters
+    _log(f"ours: fwd={t_fwd:.4f}s dec={t_dec:.4f}s per iter")
+    return {"forward_s": t_fwd, "decode_s": t_dec,
+            "overall_s": t_fwd + t_dec}
 
 
 def measure_torch_baseline(cfg, iters: int, cache_path: str):
@@ -74,6 +104,7 @@ def measure_torch_baseline(cfg, iters: int, cache_path: str):
     if os.path.exists(cache_path):
         with open(cache_path) as f:
             return json.load(f)
+    _log("measuring torch CPU baseline (uncached)")
     try:
         import torch
         import torch.nn as nn

@@ -38,6 +38,7 @@ class Config:
     decode_max_len: int = 256     # reference DECODE_MAX_LEN (CTCBeamSearch.h:8); ours is a knob
     decoder: str = "prefix"       # prefix (standard/log-space) | reference (blank-annotated) | greedy
     log_space: bool = True        # prefix decoder always log-space; reference decoder optionally
+    num_blocks: Optional[int] = None  # conformer depth override (None=preset)
     # mesh: axis name -> size; empty = single device
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     seed: int = 0

@@ -33,5 +33,5 @@ def model_apply(config, params, x, **kw):
         return ds2_apply(params, x, **kw)
     if name in ("conformer_s", "conformer_l", "conformer"):
         from gasr_tpu.models.conformer import conformer_apply
-        return conformer_apply(params, x, **kw)
+        return conformer_apply(config, params, x, **kw)
     raise ValueError(f"unknown model {name!r}")

@@ -1,0 +1,88 @@
+"""Multi-head self-attention with Transformer-XL relative positions.
+
+For the Conformer models (BASELINE.json configs 4-5). The reference has
+no attention at all (SURVEY.md §2.3); this is written TPU-first: one
+fused einsum per projection, attention scores in f32 on the MXU, the
+rel-shift via reshape (no gathers), and shapes kept [T, B, ...]
+time-major to match the rest of the stack.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _sinusoid_pos(n: int, d: int) -> jax.Array:
+    """Sinusoidal embeddings for relative positions [n-1 .. -(n-1)]."""
+    pos = jnp.arange(n - 1, -n, -1.0)                  # [2n-1]
+    inv = jnp.exp(-jnp.arange(0, d, 2) * (math.log(10000.0) / d))
+    ang = pos[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [2n-1, d]
+
+
+def mhsa_rel_init(key: jax.Array, d_model: int, num_heads: int,
+                  dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 6)
+    dh = d_model // num_heads
+    s = 1.0 / (d_model ** 0.5)
+    n = lambda k, shape: jax.random.normal(k, shape, dtype) * s
+    return {
+        "wq": n(ks[0], (d_model, d_model)),
+        "wk": n(ks[1], (d_model, d_model)),
+        "wv": n(ks[2], (d_model, d_model)),
+        "wo": n(ks[3], (d_model, d_model)),
+        "wr": n(ks[4], (d_model, d_model)),     # rel-pos projection
+        "u": jnp.zeros((num_heads, dh), dtype),  # content bias
+        "v": jnp.zeros((num_heads, dh), dtype),  # position bias
+    }
+
+
+def _rel_shift(x: jax.Array) -> jax.Array:
+    """[B, H, T, 2T-1] (cols = rel offsets T-1 .. -(T-1)) -> [B, H, T, T]
+    where out[..., i, j] = x[..., i, (T-1) - (i - j)] = rel offset (i-j).
+    Classic Transformer-XL shift via pad+reshape."""
+    B, H, T, L = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))     # [B,H,T,2T]
+    x = x.reshape(B, H, 2 * T * T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, T - 1)))
+    x = x.reshape(B, H, T + 1, 2 * T - 1)
+    return x[:, :, :T, T - 1:]
+
+
+def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
+             mask: Optional[jax.Array] = None) -> jax.Array:
+    """x: [T, B, D] -> [T, B, D]. mask: [B, T] True for valid frames."""
+    T, B, D = x.shape
+    dh = D // num_heads
+
+    def proj(w, inp):
+        return jnp.einsum("tbd,de->tbe", inp, w,
+                          preferred_element_type=jnp.float32)
+
+    q = proj(params["wq"], x).reshape(T, B, num_heads, dh)
+    k = proj(params["wk"], x).reshape(T, B, num_heads, dh)
+    v = proj(params["wv"], x).reshape(T, B, num_heads, dh)
+
+    r = _sinusoid_pos(T, D) @ params["wr"]               # [2T-1, D]
+    r = r.reshape(2 * T - 1, num_heads, dh)
+
+    # content and position terms (Transformer-XL eq. with biases u, v)
+    ac = jnp.einsum("tbhd,sbhd->bhts", q + params["u"][None, None], k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("tbhd,lhd->bhtl", q + params["v"][None, None], r,
+                    preferred_element_type=jnp.float32)
+    bd = _rel_shift(bd)                                  # [B, H, T, T]
+
+    scores = (ac + bd) / math.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,sbhd->tbhd", attn, v,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(T, B, D)
+    return jnp.einsum("tbd,de->tbe", out, params["wo"],
+                      preferred_element_type=jnp.float32)

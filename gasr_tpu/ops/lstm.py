@@ -1,0 +1,96 @@
+"""LSTM: multi-layer, optionally bidirectional, via `lax.scan`.
+
+Not in the reference (its recurrent core is an Elman cell), but required
+by the BASELINE.json model families (BiLSTM-CTC, DeepSpeech2). Same
+TPU-native structure as ops/rnn.py: the [T*B, in] x [in, 4H] input
+projection is hoisted out of the recurrence as one MXU-friendly GEMM;
+the scan carries (h, c) and does one [B, H] x [H, 4H] GEMM per step.
+
+Gate order follows torch.nn.LSTM (i, f, g, o) so state_dicts import with
+a plain transpose. Weights: w_ih [in, 4H], w_hh [H, 4H], biases [4H].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def lstm_cell_init(key: jax.Array, input_size: int, hidden_size: int,
+                   dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4)
+    bound = 1.0 / (hidden_size ** 0.5)
+    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -bound, bound)
+    return {
+        "w_ih": u(ks[0], (input_size, 4 * hidden_size)),
+        "w_hh": u(ks[1], (hidden_size, 4 * hidden_size)),
+        "b_ih": u(ks[2], (4 * hidden_size,)),
+        "b_hh": u(ks[3], (4 * hidden_size,)),
+    }
+
+
+def lstm_init(key: jax.Array, input_size: int, hidden_size: int,
+              num_layers: int = 1, bidirectional: bool = False,
+              dtype=jnp.float32) -> dict:
+    n_dir = 2 if bidirectional else 1
+    keys = jax.random.split(key, num_layers * n_dir)
+    layers, layers_rev = [], []
+    for l in range(num_layers):
+        in_l = input_size if l == 0 else hidden_size * n_dir
+        layers.append(lstm_cell_init(keys[l], in_l, hidden_size, dtype))
+        if bidirectional:
+            layers_rev.append(
+                lstm_cell_init(keys[num_layers + l], in_l, hidden_size,
+                               dtype))
+    params = {"layers": layers}
+    if bidirectional:
+        params["layers_rev"] = layers_rev
+    return params
+
+
+def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
+                        c0: jax.Array, reverse: bool) -> jax.Array:
+    H = cell["w_hh"].shape[0]
+    xw = (jnp.dot(x, cell["w_ih"], preferred_element_type=jnp.float32)
+          + cell["b_ih"] + cell["b_hh"])                  # [T, B, 4H]
+    w_hh = cell["w_hh"]
+
+    def step(carry, xw_t):
+        h, c = carry
+        pre = xw_t + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(pre, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, hs = lax.scan(step, (h0, c0), xw, reverse=reverse)
+    return hs
+
+
+def lstm_forward(params: dict, x: jax.Array,
+                 state0: Optional[Tuple[jax.Array, jax.Array]] = None
+                 ) -> jax.Array:
+    """x: [T, B, in] -> [T, B, H * n_dir]. Zero initial state default."""
+    layers = params["layers"]
+    layers_rev = params.get("layers_rev")
+    T, B = x.shape[0], x.shape[1]
+    H = layers[0]["w_hh"].shape[0]
+
+    out = x
+    for l, cell in enumerate(layers):
+        if state0 is None:
+            h0 = jnp.zeros((B, H), x.dtype)
+            c0 = jnp.zeros((B, H), x.dtype)
+        else:
+            h0, c0 = state0
+        fwd = _scan_one_direction(cell, out, h0, c0, reverse=False)
+        if layers_rev is not None:
+            bwd = _scan_one_direction(layers_rev[l], out, h0, c0,
+                                      reverse=True)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            out = fwd
+    return out

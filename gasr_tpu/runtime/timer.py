@@ -48,10 +48,22 @@ class Timer:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
 
+    @staticmethod
+    def sync(out) -> None:
+        """Hard device fence. block_until_ready is not sufficient under
+        remote-TPU tunnels (returns before execution completes); a D2H
+        fetch of one output element is."""
+        import numpy as np
+        jax.block_until_ready(out)
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+                np.asarray(jax.device_get(leaf.ravel()[0]))
+                break
+
     def time(self, name: str, fn: Callable, *args, **kwargs):
         t0 = CycleTimer.current_seconds()
         out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        self.sync(out)
         dt = CycleTimer.current_seconds() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1
