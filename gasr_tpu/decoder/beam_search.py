@@ -42,14 +42,17 @@ Key design decisions (vs the reference):
   - Dead beam slots are masked (flag=2 key space, sentinel scores), not
     counted (reference tracks batchNumPaths on device, .cu:103-135).
   - Overflow: paths longer than max_len set a per-beam overflow flag and
-    keep the TAIL; the reference silently corrupts at 256 chars
-    (TODO at .cu:403).
+    keep the HEAD (transcript truncated at the end); the reference
+    silently corrupts memory at 256 chars (TODO at .cu:403).
+  - Streaming: `streaming_init`/`streaming_step` carry beam state (and
+    materialized prefixes) across chunks, so T is unbounded — the
+    reference must hold the whole [T, B, V] tensor (decode .cu:262).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,10 +69,12 @@ M2 = np.uint32(16777619)
 
 class BeamSearchResult(NamedTuple):
     tokens: jax.Array    # [B, W, max_len] int32, -1 padded
-    lengths: jax.Array   # [B, W] int32
+    lengths: jax.Array   # [B, W] int32 (true prefix length, may exceed
+                         # max_len — then overflow is set and tokens hold
+                         # the first max_len symbols)
     scores: jax.Array    # [B, W] float32: log(p) ("prefix"/log "reference")
                          # or raw summed prob ("reference" prob_domain)
-    overflow: jax.Array  # [B, W] bool: path exceeded max_len (tail kept)
+    overflow: jax.Array  # [B, W] bool
 
 
 class _BeamState(NamedTuple):
@@ -83,10 +88,15 @@ class _BeamState(NamedTuple):
     s2: jax.Array        # [B, W] f32: p_nb (prefix) | unused
 
 
+class StreamingState(NamedTuple):
+    """Carried across chunks: beam + materialized prefixes."""
+    beam: _BeamState
+    tokens: jax.Array    # [B, W, max_len] int32
+
+
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)
     lo = jnp.minimum(a, b)
-    # safe when both are NEG_INF-ish: exp of huge negative -> 0
     return m + jnp.log1p(jnp.exp(jnp.maximum(lo - m, -80.0)) *
                          (lo - m > -80.0))
 
@@ -102,11 +112,8 @@ def _segment_logsumexp(s, seg, num_segments):
 
 
 def _merge_row(k1, k2, k3, payload_scores, log_domain):
-    """Merge one row of N candidates by identity keys.
-
-    Returns (perm, first, merged_scores_per_candidate...) where merged
-    scores are aligned with the sorted order.
-    """
+    """Merge one row of N candidates by identity keys. Returns (perm,
+    first, merged scores aligned with sorted order)."""
     N = k1.shape[0]
     iota = lax.iota(jnp.int32, N)
     sorted_ops = lax.sort((k1, k2, k3, iota), num_keys=3, is_stable=True)
@@ -128,43 +135,13 @@ def _merge_row(k1, k2, k3, payload_scores, log_domain):
     return perm, first, merged
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "beam_width", "blank_id", "max_len", "algorithm", "prob_domain"))
-def ctc_beam_search(
-    log_probs: jax.Array,
-    beam_width: int,
-    blank_id: int = 0,
-    max_len: int = 256,
-    algorithm: str = "prefix",
-    prob_domain: bool = False,
-) -> BeamSearchResult:
-    """Batched CTC beam search.
-
-    log_probs: [T, B, V] time-major log-probabilities — or raw
-    probabilities when (algorithm="reference", prob_domain=True), which
-    bit-matches the CUDA reference's multiplicative scoring including its
-    long-T underflow behavior.
-
-    Returns a BeamSearchResult with the beams sorted best-first per
-    example. tokens contain collapsed symbol ids (never blank), -1 padded.
-    """
-    if algorithm not in ("prefix", "reference"):
-        raise ValueError(f"unknown algorithm {algorithm!r}")
-    if prob_domain and algorithm != "reference":
-        raise ValueError("prob_domain is only for algorithm='reference'")
-    log_domain = not prob_domain
-
-    T, B, V = log_probs.shape
-    W = beam_width
-    N = W * V
-    dead_key = DEAD_KEY_LOG if log_domain else DEAD_KEY_PROB
+def _init_beam(B: int, W: int, log_domain: bool) -> _BeamState:
     zero_score = 0.0 if log_domain else 1.0
     null_score = NEG_INF if log_domain else 0.0
-
     slot = jnp.arange(W, dtype=jnp.int32)
-    init = _BeamState(
-        h1=jnp.broadcast_to(jnp.where(slot == 0, H_SEED,
-                                      np.uint32(0)), (B, W)),
+    return _BeamState(
+        h1=jnp.broadcast_to(jnp.where(slot == 0, H_SEED, np.uint32(0)),
+                            (B, W)),
         h2=jnp.broadcast_to(jnp.where(slot == 0, H_SEED,
                                       slot.astype(jnp.uint32)), (B, W)),
         last=jnp.full((B, W), -1, jnp.int32),
@@ -176,12 +153,19 @@ def ctc_beam_search(
         s2=jnp.full((B, W), NEG_INF if log_domain else 0.0, jnp.float32),
     )
 
-    vs = jnp.arange(V, dtype=jnp.int32)          # [V]
+
+def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
+                     log_domain: bool):
+    """Build the per-frame transition: (state, (f, is_last)) ->
+    (state', (parent, char, appended))."""
+    N = W * V
+    dead_key = DEAD_KEY_LOG if log_domain else DEAD_KEY_PROB
+    null_score = NEG_INF if log_domain else 0.0
+    vs = jnp.arange(V, dtype=jnp.int32)
     is_blank_v = (vs == blank_id)
 
     def frame_step(state: _BeamState, inputs):
         f, is_last = inputs                      # f: [B, V]
-        # ---- candidate construction: [B, W, V] ----
         h1 = state.h1[:, :, None]
         h2 = state.h2[:, :, None]
         last = state.last[:, :, None]
@@ -206,7 +190,7 @@ def ctc_beam_search(
         else:
             # "stay" candidates occupy the blank column: blank transition
             # plus the collapse (repeat) contribution.
-            total = _logaddexp(state.s1, state.s2)[:, :, None]   # [B,W,1]
+            total = _logaddexp(state.s1, state.s2)[:, :, None]
             f_last = jnp.take_along_axis(
                 f, jnp.clip(state.last, 0, V - 1), axis=1)[:, :, None]
             stay_pb = total + fv                  # valid at blank column
@@ -235,7 +219,6 @@ def ctc_beam_search(
 
         parent = lax.broadcasted_iota(jnp.int32, (B, W, V), 1)
 
-        # ---- flatten and merge per row ----
         def flat(x):
             return x.reshape(B, N)
         k1, k2, k3 = flat(nh1), flat(nh2), flat(flag)
@@ -267,25 +250,28 @@ def ctc_beam_search(
         new_state = _BeamState(
             h1=sel(g(nh1)), h2=sel(g(nh2)),
             last=sel(g(n_last)), length=sel(g(n_len)),
-            tb=sel(g(jnp.broadcast_to(new_tb, (B, W, V)))),
+            tb=sel(g(new_tb)),
             live=new_live, s1=ns1, s2=ns2,
         )
         ys = (sel(g(parent)), sel(g(n_last)), sel(g(append)))
         return new_state, ys
 
-    is_last_arr = jnp.zeros((T,), jnp.bool_)
-    if algorithm == "reference" and T > 1:
-        # reference strips trailing blanks only on the final frame of the
-        # t=1..T-1 loop (.cu:278-281); T==1 never strips.
-        is_last_arr = is_last_arr.at[T - 1].set(True)
+    return frame_step
 
-    final, (parents, chars, appendeds) = lax.scan(
-        frame_step, init, (log_probs, is_last_arr))
 
-    # ---- transcript reconstruction: reverse walk over backpointers ----
-    L = max_len
-    overflow = final.length > L
-    pos0 = jnp.minimum(final.length, L)
+def _traceback(parents, chars, appendeds, final_lengths, L,
+               base_tokens: Optional[jax.Array] = None
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Reconstruct prefixes from per-frame backpointers.
+
+    parents/chars/appendeds: [Tc, B, W]; final_lengths: [B, W] (absolute
+    prefix lengths at the end of the chunk). Emissions land at their
+    absolute positions (head-keeping on overflow: positions >= L drop).
+    base_tokens [B, W, L] are the materialized prefixes at CHUNK START,
+    indexed by the chunk's start slots; pass None for a fresh decode.
+    Returns (tokens [B, W, L], start_parent [B, W]).
+    """
+    Tc, B, W = parents.shape
 
     def backstep(carry, y):
         cur, pos = carry                          # [B, W] each
@@ -296,30 +282,135 @@ def ctc_beam_search(
         a = take(app_t)
         c = take(char_t)
         p = take(parent_t)
-        emit_pos = jnp.where(a, pos - 1, L)       # L = discard slot
-        emit_pos = jnp.where(emit_pos < 0, L, emit_pos)
+        emit_pos = jnp.where(a, jnp.minimum(pos - 1, L), L)  # L = discard
         new_pos = jnp.where(a, pos - 1, pos)
         return (p, new_pos), (jnp.where(a, c, -1), emit_pos)
 
     cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
-    _, (tok_vals, tok_pos) = lax.scan(
-        backstep, (cur0, pos0), (parents, chars, appendeds), reverse=True)
+    (start_parent, _), (tok_vals, tok_pos) = lax.scan(
+        backstep, (cur0, final_lengths), (parents, chars, appendeds),
+        reverse=True)
 
-    # scatter [T, B, W] emissions into [B, W, L+1]
-    tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, T]
+    tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, Tc]
     tok_pos = jnp.moveaxis(tok_pos, 0, -1)
 
-    def fill(vals, pos):                          # [T] -> [L+1]
-        out = jnp.full((L + 1,), -1, jnp.int32)
-        return out.at[pos].set(vals, mode="drop")
-    tokens = jax.vmap(jax.vmap(fill))(tok_vals, tok_pos)[:, :, :L]
+    if base_tokens is None:
+        base = jnp.full((B, W, L + 1), -1, jnp.int32)
+    else:
+        gathered = jnp.take_along_axis(
+            base_tokens, start_parent[:, :, None], axis=1)
+        base = jnp.concatenate(
+            [gathered, jnp.full((B, W, 1), -1, jnp.int32)], axis=-1)
 
+    def fill(base_row, vals, pos):                # [L+1], [Tc] -> [L+1]
+        return base_row.at[pos].set(vals, mode="drop")
+
+    tokens = jax.vmap(jax.vmap(fill))(base, tok_vals, tok_pos)[:, :, :L]
+    return tokens, start_parent
+
+
+def _result(final: _BeamState, tokens: jax.Array, L: int, algorithm: str,
+            log_domain: bool) -> BeamSearchResult:
+    null_score = NEG_INF if log_domain else 0.0
     scores = (_logaddexp(final.s1, final.s2) if algorithm == "prefix"
               else final.s1)
     scores = jnp.where(final.live, scores, null_score)
-    lengths = jnp.where(final.live, jnp.minimum(final.length, L), 0)
+    lengths = jnp.where(final.live, final.length, 0)
+    overflow = (lengths > L) & final.live
     return BeamSearchResult(tokens=tokens, lengths=lengths,
-                            scores=scores, overflow=overflow & final.live)
+                            scores=scores, overflow=overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beam_width", "blank_id", "max_len", "algorithm", "prob_domain"))
+def ctc_beam_search(
+    log_probs: jax.Array,
+    beam_width: int,
+    blank_id: int = 0,
+    max_len: int = 256,
+    algorithm: str = "prefix",
+    prob_domain: bool = False,
+) -> BeamSearchResult:
+    """Batched CTC beam search.
+
+    log_probs: [T, B, V] time-major log-probabilities — or raw
+    probabilities when (algorithm="reference", prob_domain=True), which
+    bit-matches the CUDA reference's multiplicative scoring including its
+    long-T underflow behavior.
+
+    Returns a BeamSearchResult with the beams sorted best-first per
+    example. tokens contain collapsed symbol ids (never blank), -1 padded.
+    """
+    if algorithm not in ("prefix", "reference"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if prob_domain and algorithm != "reference":
+        raise ValueError("prob_domain is only for algorithm='reference'")
+    log_domain = not prob_domain
+
+    T, B, V = log_probs.shape
+    W = beam_width
+    L = max_len
+
+    init = _init_beam(B, W, log_domain)
+    frame_step = _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
+
+    is_last_arr = jnp.zeros((T,), jnp.bool_)
+    if algorithm == "reference" and T > 1:
+        # reference strips trailing blanks only on the final frame of the
+        # t=1..T-1 loop (.cu:278-281); T==1 never strips.
+        is_last_arr = is_last_arr.at[T - 1].set(True)
+
+    final, (parents, chars, appendeds) = lax.scan(
+        frame_step, init, (log_probs, is_last_arr))
+
+    tokens, _ = _traceback(parents, chars, appendeds, final.length, L)
+    return _result(final, tokens, L, algorithm, log_domain)
+
+
+# ---------------------------------------------------------------- streaming
+
+def streaming_init(batch_size: int, beam_width: int, max_len: int = 256,
+                   log_domain: bool = True) -> StreamingState:
+    """Fresh streaming decode state for a batch."""
+    beam = _init_beam(batch_size, beam_width, log_domain)
+    tokens = jnp.full((batch_size, beam_width, max_len), -1, jnp.int32)
+    return StreamingState(beam=beam, tokens=tokens)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "blank_id", "algorithm", "prob_domain", "is_final"))
+def streaming_step(
+    state: StreamingState,
+    chunk_log_probs: jax.Array,          # [Tc, B, V]
+    blank_id: int = 0,
+    algorithm: str = "prefix",
+    prob_domain: bool = False,
+    is_final: bool = False,
+) -> Tuple[StreamingState, BeamSearchResult]:
+    """Advance the decode by one chunk; T is unbounded across calls.
+
+    Beam state (hashes, scores) and materialized prefixes carry over;
+    per-chunk work is identical to the batch path. `is_final` applies the
+    reference algorithm's trailing-blank strip on the chunk's last frame.
+    Returns the updated state and the current-best result snapshot.
+    """
+    log_domain = not prob_domain
+    Tc, B, V = chunk_log_probs.shape
+    W = state.beam.s1.shape[1]
+    L = state.tokens.shape[2]
+
+    frame_step = _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
+    is_last_arr = jnp.zeros((Tc,), jnp.bool_)
+    if algorithm == "reference" and is_final:
+        is_last_arr = is_last_arr.at[Tc - 1].set(True)
+
+    final, (parents, chars, appendeds) = lax.scan(
+        frame_step, state.beam, (chunk_log_probs, is_last_arr))
+
+    tokens, _ = _traceback(parents, chars, appendeds, final.length, L,
+                           base_tokens=state.tokens)
+    new_state = StreamingState(beam=final, tokens=tokens)
+    return new_state, _result(final, tokens, L, algorithm, log_domain)
 
 
 def decode_to_lists(result: BeamSearchResult, top: int = 1):
@@ -327,11 +418,12 @@ def decode_to_lists(result: BeamSearchResult, top: int = 1):
     tokens = np.asarray(result.tokens)
     lengths = np.asarray(result.lengths)
     scores = np.asarray(result.scores)
+    L = tokens.shape[2]
     out = []
     for b in range(tokens.shape[0]):
         beams = []
         for w in range(min(top, tokens.shape[1])):
-            n = int(lengths[b, w])
+            n = min(int(lengths[b, w]), L)
             beams.append((tokens[b, w, :n].tolist(), float(scores[b, w])))
         out.append(beams if top > 1 else beams[0])
     return out

@@ -221,8 +221,8 @@ void decode_one(const float* lp, int T, int V, int beam_width, int blank,
     rev.push_back(arena[n].ch);
   int L = (int)rev.size();
   int outL = std::min(L, max_len);
-  // keep the TAIL on overflow (matches gasr_tpu.decoder semantics)
-  for (int i = 0; i < outL; i++) out_tokens[i] = rev[outL - 1 - i];
+  // keep the HEAD on overflow (matches gasr_tpu.decoder semantics)
+  for (int i = 0; i < outL; i++) out_tokens[i] = rev[L - 1 - i];
   *out_len = outL;
   *out_score = best->score();
 }

@@ -137,7 +137,7 @@ def test_beam_results_sorted_and_unique():
 
 
 def test_overflow_flag():
-    """A path longer than max_len sets overflow and keeps the tail."""
+    """A path longer than max_len sets overflow and keeps the head."""
     # alternating symbols, no blanks -> path grows every frame
     T, V = 12, 3
     lp = np.full((T, 1, V), -20.0, np.float32)
@@ -146,9 +146,9 @@ def test_overflow_flag():
     res = ctc_beam_search(jnp.asarray(lp), beam_width=2, blank_id=0,
                           max_len=4, algorithm="prefix")
     assert bool(res.overflow[0, 0])
-    assert int(res.lengths[0, 0]) == 4
+    assert int(res.lengths[0, 0]) == 12   # true length reported
     toks = np.asarray(res.tokens)[0, 0, :4]
-    want = [1 + t % 2 for t in range(T)][-4:]
+    want = [1 + t % 2 for t in range(T)][:4]
     assert toks.tolist() == want
 
 
