@@ -80,6 +80,8 @@ class BeamSearchResult(NamedTuple):
 class _BeamState(NamedTuple):
     h1: jax.Array        # [B, W] uint32 prefix hash 1
     h2: jax.Array        # [B, W] uint32 prefix hash 2
+    hp1: jax.Array       # [B, W] uint32 hash 1 of prefix MINUS last char
+    hp2: jax.Array       # [B, W] uint32 hash 2 of prefix MINUS last char
     last: jax.Array      # [B, W] int32 last char (-1 if empty)
     length: jax.Array    # [B, W] int32 collapsed prefix length
     tb: jax.Array        # [B, W] int32 trailing-blank flag (reference mode)
@@ -144,6 +146,8 @@ def _init_beam(B: int, W: int, log_domain: bool) -> _BeamState:
                             (B, W)),
         h2=jnp.broadcast_to(jnp.where(slot == 0, H_SEED,
                                       slot.astype(jnp.uint32)), (B, W)),
+        hp1=jnp.zeros((B, W), jnp.uint32),
+        hp2=jnp.zeros((B, W), jnp.uint32),
         last=jnp.full((B, W), -1, jnp.int32),
         length=jnp.zeros((B, W), jnp.int32),
         tb=jnp.zeros((B, W), jnp.int32),
@@ -204,6 +208,8 @@ def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
 
         nh1 = jnp.where(append, h1 * M1 + vp1, h1)
         nh2 = jnp.where(append, h2 * M2 + vp1, h2)
+        nhp1 = jnp.where(append, h1, state.hp1[:, :, None])
+        nhp2 = jnp.where(append, h2, state.hp2[:, :, None])
         n_last = jnp.where(append, v3, last)
         n_len = length + append.astype(jnp.int32)
 
@@ -249,11 +255,117 @@ def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
                         NEG_INF if log_domain else 0.0)
         new_state = _BeamState(
             h1=sel(g(nh1)), h2=sel(g(nh2)),
+            hp1=sel(g(nhp1)), hp2=sel(g(nhp2)),
             last=sel(g(n_last)), length=sel(g(n_len)),
             tb=sel(g(new_tb)),
             live=new_live, s1=ns1, s2=ns2,
         )
         ys = (sel(g(parent)), sel(g(n_last)), sel(g(append)))
+        return new_state, ys
+
+    return frame_step
+
+
+def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int):
+    """Matched-merge frame step for the "prefix" algorithm (log domain).
+
+    Exploits a structural invariant the sort-based path ignores: beam
+    prefixes are UNIQUE after every prune, so
+      - extend candidates (prefix_w + v) are pairwise distinct, and
+      - the only possible merge is extend(w, v) into stay(w') where
+        prefix(w') == prefix(w) + v — and each stay has at most ONE such
+        partner (the slot holding its parent prefix).
+    The W*V-candidate sort + segment reduction therefore collapses to a
+    W x W hash match (h_full[w] == h_prefix[w'], lengths off by one)
+    plus one lax.top_k over the candidate grid. ~100x less work per
+    frame than the sort path at W=100, V=47; bit-identical semantics
+    (same dual-hash identity assumptions).
+    """
+    vs = jnp.arange(V, dtype=jnp.int32)
+    DEAD = DEAD_KEY_LOG
+
+    def frame_step(state: _BeamState, inputs):
+        f, _is_last = inputs                           # [B, V]
+        pb, pnb, live = state.s1, state.s2, state.live
+        total = _logaddexp(pb, pnb)                    # [B, W]
+        last_clip = jnp.clip(state.last, 0, V - 1)
+        f_last = jnp.take_along_axis(f, last_clip, axis=1)   # [B, W]
+
+        # ---- parent match: w (axis 1) is candidate parent, w' (axis 2)
+        # the stay slot whose prefix = prefix_w + last_w'
+        eq = ((state.h1[:, :, None] == state.hp1[:, None, :]) &
+              (state.h2[:, :, None] == state.hp2[:, None, :]) &
+              (state.length[:, :, None] == state.length[:, None, :] - 1) &
+              live[:, :, None] & live[:, None, :])     # [B, W, W']
+        has_match = eq.any(axis=1)                     # [B, W']
+        match = jnp.argmax(eq, axis=1).astype(jnp.int32)
+
+        # ---- stay candidates (blank column): blank transition + repeat
+        # collapse + absorbed extend from the matched parent
+        stay_pb = total + f[:, blank_id][:, None]
+        stay_pnb = jnp.where(state.length > 0, pnb + f_last, NEG_INF)
+        m = jnp.clip(match, 0, W - 1)
+        pb_m = jnp.take_along_axis(pb, m, axis=1)
+        pnb_m = jnp.take_along_axis(pnb, m, axis=1)
+        last_m = jnp.take_along_axis(state.last, m, axis=1)
+        ext_base_m = jnp.where(last_m == state.last, pb_m,
+                               _logaddexp(pb_m, pnb_m))
+        ext_contrib = jnp.where(has_match, ext_base_m + f_last, NEG_INF)
+        stay_pnb = _logaddexp(stay_pnb, ext_contrib)
+        stay_score = jnp.where(live, _logaddexp(stay_pb, stay_pnb), DEAD)
+
+        # ---- extend candidates [B, W, V]
+        is_rep = vs[None, None, :] == state.last[:, :, None]
+        ext_pnb = jnp.where(is_rep, pb[:, :, None], total[:, :, None]) \
+            + f[:, None, :]
+        # exclude extends absorbed into a stay (their identity already
+        # exists in the beam): excl[b, w, v] = any w' with match==w and
+        # last_w' == v
+        onehot_m = jax.nn.one_hot(
+            jnp.where(has_match, match, -1), W, dtype=jnp.float32)
+        onehot_v = jax.nn.one_hot(last_clip, V, dtype=jnp.float32) \
+            * has_match[..., None].astype(jnp.float32)
+        excl = jnp.einsum("bkw,bkv->bwv", onehot_m, onehot_v,
+                          preferred_element_type=jnp.float32) > 0.5
+        valid_ext = (vs[None, None, :] != blank_id) \
+            & live[:, :, None] & (~excl)
+        ext_score = jnp.where(valid_ext, ext_pnb, DEAD)
+
+        # ---- combined grid: blank column holds the stay candidate
+        cand = jnp.where(vs[None, None, :] == blank_id,
+                         stay_score[:, :, None], ext_score)
+        top_vals, idx = lax.top_k(cand.reshape(B, W * V), W)
+        w_sel = idx // V
+        v_sel = idx % V
+        is_stay = v_sel == blank_id
+        new_live = top_vals > DEAD * 0.5
+
+        def gw(x):
+            return jnp.take_along_axis(x, w_sel, axis=1)
+
+        sel_ext_pnb = jnp.take_along_axis(
+            ext_pnb.reshape(B, W * V), idx, axis=1)
+        ns1 = jnp.where(new_live,
+                        jnp.where(is_stay, gw(stay_pb), NEG_INF), NEG_INF)
+        ns2 = jnp.where(new_live,
+                        jnp.where(is_stay, gw(stay_pnb), sel_ext_pnb),
+                        NEG_INF)
+
+        vp1 = (v_sel + 1).astype(jnp.uint32)
+        h1g, h2g = gw(state.h1), gw(state.h2)
+        new_state = _BeamState(
+            h1=jnp.where(is_stay, h1g, h1g * M1 + vp1),
+            h2=jnp.where(is_stay, h2g, h2g * M2 + vp1),
+            hp1=jnp.where(is_stay, gw(state.hp1), h1g),
+            hp2=jnp.where(is_stay, gw(state.hp2), h2g),
+            last=jnp.where(is_stay, gw(state.last), v_sel),
+            length=gw(state.length) + (~is_stay).astype(jnp.int32),
+            tb=jnp.zeros((B, W), jnp.int32),
+            live=new_live,
+            s1=ns1, s2=ns2,
+        )
+        ys = (w_sel, jnp.where(is_stay, gw(state.last), v_sel),
+              (~is_stay) & new_live)
         return new_state, ys
 
     return frame_step
@@ -322,7 +434,8 @@ def _result(final: _BeamState, tokens: jax.Array, L: int, algorithm: str,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "beam_width", "blank_id", "max_len", "algorithm", "prob_domain"))
+    "beam_width", "blank_id", "max_len", "algorithm", "prob_domain",
+    "merge_impl"))
 def ctc_beam_search(
     log_probs: jax.Array,
     beam_width: int,
@@ -330,6 +443,7 @@ def ctc_beam_search(
     max_len: int = 256,
     algorithm: str = "prefix",
     prob_domain: bool = False,
+    merge_impl: str = "auto",
 ) -> BeamSearchResult:
     """Batched CTC beam search.
 
@@ -340,6 +454,10 @@ def ctc_beam_search(
 
     Returns a BeamSearchResult with the beams sorted best-first per
     example. tokens contain collapsed symbol ids (never blank), -1 padded.
+
+    merge_impl: "auto" (matched-merge for "prefix", sort for
+    "reference"), "matched", or "sort" (the general path, also the
+    cross-check oracle for the matched path).
     """
     if algorithm not in ("prefix", "reference"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -352,7 +470,8 @@ def ctc_beam_search(
     L = max_len
 
     init = _init_beam(B, W, log_domain)
-    frame_step = _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
+    frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
+                            merge_impl)
 
     is_last_arr = jnp.zeros((T,), jnp.bool_)
     if algorithm == "reference" and T > 1:
@@ -367,6 +486,18 @@ def ctc_beam_search(
     return _result(final, tokens, L, algorithm, log_domain)
 
 
+def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl):
+    if merge_impl not in ("auto", "matched", "sort"):
+        raise ValueError(f"unknown merge_impl {merge_impl!r}")
+    use_fast = (algorithm == "prefix" and log_domain
+                and merge_impl in ("auto", "matched"))
+    if merge_impl == "matched" and not use_fast:
+        raise ValueError("matched merge requires algorithm='prefix'")
+    if use_fast:
+        return _make_frame_step_fast(B, W, V, blank_id)
+    return _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
+
+
 # ---------------------------------------------------------------- streaming
 
 def streaming_init(batch_size: int, beam_width: int, max_len: int = 256,
@@ -378,7 +509,7 @@ def streaming_init(batch_size: int, beam_width: int, max_len: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "blank_id", "algorithm", "prob_domain", "is_final"))
+    "blank_id", "algorithm", "prob_domain", "is_final", "merge_impl"))
 def streaming_step(
     state: StreamingState,
     chunk_log_probs: jax.Array,          # [Tc, B, V]
@@ -386,6 +517,7 @@ def streaming_step(
     algorithm: str = "prefix",
     prob_domain: bool = False,
     is_final: bool = False,
+    merge_impl: str = "auto",
 ) -> Tuple[StreamingState, BeamSearchResult]:
     """Advance the decode by one chunk; T is unbounded across calls.
 
@@ -399,7 +531,8 @@ def streaming_step(
     W = state.beam.s1.shape[1]
     L = state.tokens.shape[2]
 
-    frame_step = _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
+    frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
+                            merge_impl)
     is_last_arr = jnp.zeros((Tc,), jnp.bool_)
     if algorithm == "reference" and is_final:
         is_last_arr = is_last_arr.at[Tc - 1].set(True)

@@ -169,3 +169,26 @@ def test_greedy_empty():
     lp[:, :, 0] = -0.01                            # all blank
     tokens, lengths = greedy_decode(jnp.asarray(lp), blank_id=0)
     assert lengths.tolist() == [0, 0]
+
+
+def test_matched_merge_equals_sort_merge():
+    """The fast matched-merge path must produce identical beams to the
+    general sort path (same algorithm, same hashes)."""
+    rng = np.random.default_rng(42)
+    for (T, B, V, W) in [(18, 3, 7, 8), (10, 2, 4, 16), (25, 2, 29, 12)]:
+        lp = rand_logprobs(rng, T, B, V)
+        fast = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=64,
+                               algorithm="prefix", merge_impl="matched")
+        slow = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=64,
+                               algorithm="prefix", merge_impl="sort")
+        np.testing.assert_array_equal(np.asarray(fast.lengths),
+                                      np.asarray(slow.lengths))
+        np.testing.assert_allclose(np.asarray(fast.scores),
+                                   np.asarray(slow.scores), rtol=1e-4,
+                                   atol=1e-4)
+        for b in range(B):
+            for w in range(W):
+                n = int(fast.lengths[b, w])
+                assert (np.asarray(fast.tokens)[b, w, :n].tolist()
+                        == np.asarray(slow.tokens)[b, w, :n].tolist()), \
+                    (T, B, V, W, b, w)
