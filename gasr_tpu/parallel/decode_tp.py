@@ -1,0 +1,219 @@
+"""Tensor-parallel CTC beam search: candidate grid sharded over chips.
+
+BASELINE.json config 5 capability: "per-beam hypothesis state exchanged
+via all-gather/psum collectives at each decode step". Data-parallel
+decode is embarrassingly parallel (shard B); THIS module shards the
+decode's inner work — the [B, W, V] candidate expansion and local top-k
+— across the 'model' mesh axis by vocabulary slice, then exchanges the
+local winners with one `all_gather` per frame and reduces to the global
+top-W on every chip (replicated beam state).
+
+Exactness: every candidate lives on exactly one shard and the global
+top-W is contained in the union of per-shard top-Ws, so the result is
+bit-identical to the single-chip matched-merge decoder (same hashes,
+same tie-break by candidate index).
+
+Per-frame traffic: W entries x ~7 small fields per shard (~a few 100 KB
+at W=100) — rides ICI comfortably ahead of compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gasr_tpu.decoder.beam_search import (
+    _BeamState, _init_beam, _logaddexp, _result, _traceback,
+    BeamSearchResult, DEAD_KEY_LOG, M1, M2, NEG_INF)
+
+
+def _tp_frame_step(B, W, V, Vl, blank_id, axis):
+    """Per-shard frame step: local extends + (shard-0) stays, local top-W,
+    all_gather, global top-W. State is replicated across the axis."""
+    DEAD = DEAD_KEY_LOG
+
+    def frame_step(state: _BeamState, inputs):
+        f, _is_last = inputs                       # [B, V] replicated
+        shard = lax.axis_index(axis)
+        n_shards = lax.axis_size(axis)
+        offset = shard * Vl
+        vs_local = offset + jnp.arange(Vl, dtype=jnp.int32)   # [Vl]
+        in_range = vs_local < V
+
+        pb, pnb, live = state.s1, state.s2, state.live
+        total = _logaddexp(pb, pnb)
+        last_clip = jnp.clip(state.last, 0, V - 1)
+        f_last = jnp.take_along_axis(f, last_clip, axis=1)
+
+        # ---- replicated parent match (identical on every shard)
+        eq = ((state.h1[:, :, None] == state.hp1[:, None, :]) &
+              (state.h2[:, :, None] == state.hp2[:, None, :]) &
+              (state.length[:, :, None] == state.length[:, None, :] - 1) &
+              live[:, :, None] & live[:, None, :])
+        has_match = eq.any(axis=1)
+        match = jnp.argmax(eq, axis=1).astype(jnp.int32)
+
+        # ---- stay candidates (only shard 0 emits them)
+        stay_pb = total + f[:, blank_id][:, None]
+        stay_pnb = jnp.where(state.length > 0, pnb + f_last, NEG_INF)
+        m = jnp.clip(match, 0, W - 1)
+        pb_m = jnp.take_along_axis(pb, m, axis=1)
+        pnb_m = jnp.take_along_axis(pnb, m, axis=1)
+        last_m = jnp.take_along_axis(state.last, m, axis=1)
+        ext_base_m = jnp.where(last_m == state.last, pb_m,
+                               _logaddexp(pb_m, pnb_m))
+        ext_contrib = jnp.where(has_match, ext_base_m + f_last, NEG_INF)
+        stay_pnb = _logaddexp(stay_pnb, ext_contrib)
+        stay_score = jnp.where(live, _logaddexp(stay_pb, stay_pnb), DEAD)
+        stay_score = jnp.where(shard == 0, stay_score, DEAD)
+
+        # ---- local extend candidates [B, W, Vl]
+        f_local = lax.dynamic_slice_in_dim(f, offset, Vl, axis=1)
+        is_rep = vs_local[None, None, :] == state.last[:, :, None]
+        ext_pnb = jnp.where(is_rep, pb[:, :, None], total[:, :, None]) \
+            + f_local[:, None, :]
+        # exclusion of absorbed extends (local vocab slice)
+        local_last = last_clip - offset
+        onehot_m = jax.nn.one_hot(
+            jnp.where(has_match, match, -1), W, dtype=jnp.float32)
+        onehot_v = jax.nn.one_hot(local_last, Vl, dtype=jnp.float32) \
+            * has_match[..., None].astype(jnp.float32)
+        excl = jnp.einsum("bkw,bkv->bwv", onehot_m, onehot_v,
+                          preferred_element_type=jnp.float32) > 0.5
+        valid = (vs_local[None, None, :] != blank_id) \
+            & in_range[None, None, :] & live[:, :, None] & (~excl)
+        ext_score = jnp.where(valid, ext_pnb, DEAD)
+
+        # candidate grid: [B, W, Vl + 1]; last column = stay
+        cand = jnp.concatenate([ext_score, stay_score[:, :, None]],
+                               axis=-1)
+        Nl = W * (Vl + 1)
+        top_vals, idx = lax.top_k(cand.reshape(B, Nl), W)
+        w_loc = idx // (Vl + 1)
+        col = idx % (Vl + 1)
+        is_stay_loc = col == Vl
+        v_loc = jnp.where(is_stay_loc, -1, offset + col)
+        # score components of the local winners
+        sel_ext_pnb = jnp.take_along_axis(
+            jnp.concatenate([ext_pnb, stay_pnb[:, :, None]], -1)
+            .reshape(B, Nl), idx, axis=1)
+        sel_s1 = jnp.where(is_stay_loc,
+                           jnp.take_along_axis(stay_pb, w_loc, axis=1),
+                           NEG_INF)
+        sel_s2 = sel_ext_pnb
+        # global candidate index for deterministic tie-break: (w, v) with
+        # stays ordered at their blank column position
+        gcol = jnp.where(is_stay_loc, blank_id, v_loc)
+        gidx = w_loc * V + gcol
+
+        # ---- exchange winners
+        def ag(x):
+            return lax.all_gather(x, axis, axis=1).reshape(B, -1)
+        g_vals = ag(top_vals)
+        g_gidx = ag(gidx)
+        g_w = ag(w_loc)
+        g_v = ag(v_loc)
+        g_s1 = ag(sel_s1)
+        g_s2 = ag(sel_s2)
+
+        # global top-W with tie-break on candidate index: sort by
+        # (-val, gidx) via composite ordering — top_k is stable on its
+        # input order, which here is shard-major; enforce candidate-index
+        # order for exact single-chip equivalence using a lexicographic
+        # sort.
+        order = lax.sort((jnp.float32(-1.0) * g_vals,
+                          g_gidx,
+                          jnp.arange(g_vals.shape[1], dtype=jnp.int32)
+                          [None, :].repeat(B, 0)),
+                         num_keys=2, is_stable=True)[2]
+        sel = order[:, :W]
+
+        def gsel(x):
+            return jnp.take_along_axis(x, sel, axis=1)
+        vals = gsel(g_vals)
+        w_sel = gsel(g_w)
+        v_sel = gsel(g_v)
+        ns1_raw = gsel(g_s1)
+        ns2_raw = gsel(g_s2)
+        is_stay = v_sel < 0
+        new_live = vals > DEAD * 0.5
+
+        def gw(x):
+            return jnp.take_along_axis(x, w_sel, axis=1)
+
+        ns1 = jnp.where(new_live, ns1_raw, NEG_INF)
+        ns2 = jnp.where(new_live, ns2_raw, NEG_INF)
+        v_pos = jnp.maximum(v_sel, 0)
+        vp1 = (v_pos + 1).astype(jnp.uint32)
+        h1g, h2g = gw(state.h1), gw(state.h2)
+        new_state = _BeamState(
+            h1=jnp.where(is_stay, h1g, h1g * M1 + vp1),
+            h2=jnp.where(is_stay, h2g, h2g * M2 + vp1),
+            hp1=jnp.where(is_stay, gw(state.hp1), h1g),
+            hp2=jnp.where(is_stay, gw(state.hp2), h2g),
+            last=jnp.where(is_stay, gw(state.last), v_pos),
+            length=gw(state.length) + (~is_stay).astype(jnp.int32),
+            tb=jnp.zeros((B, W), jnp.int32),
+            live=new_live,
+            s1=ns1, s2=ns2,
+        )
+        ys = (w_sel, jnp.where(is_stay, gw(state.last), v_pos),
+              (~is_stay) & new_live)
+        return new_state, ys
+
+    return frame_step
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beam_width", "blank_id", "max_len", "mesh", "axis"))
+def ctc_beam_search_tp(
+    log_probs: jax.Array,
+    beam_width: int,
+    mesh: Mesh,
+    blank_id: int = 0,
+    max_len: int = 256,
+    axis: str = "model",
+) -> BeamSearchResult:
+    """Model-axis tensor-parallel prefix beam search (log-space).
+
+    log_probs [T, B, V] may be replicated or sharded; results are
+    bit-identical to ctc_beam_search(algorithm='prefix',
+    merge_impl='matched').
+    """
+    T, B, V = log_probs.shape
+    W = beam_width
+    L = max_len
+    n = mesh.shape[axis]
+    Vl = -(-V // n)
+
+    if Vl * n != V:
+        # pad vocab so every shard's dynamic_slice is exact (padded
+        # columns are masked dead inside the step via in_range)
+        log_probs = jnp.pad(log_probs, ((0, 0), (0, 0), (0, Vl * n - V)),
+                            constant_values=NEG_INF)
+
+    init = _init_beam(B, W, log_domain=True)
+    step = _tp_frame_step(B, W, V, Vl, blank_id, axis)
+
+    def run(lp, init_state):
+        is_last_arr = jnp.zeros((T,), jnp.bool_)
+        final, ys = lax.scan(step, init_state, (lp, is_last_arr))
+        return final, ys
+
+    repl = P()
+    run_sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=(repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )
+    final, (parents, chars, appendeds) = run_sharded(log_probs, init)
+    tokens, _ = _traceback(parents, chars, appendeds, final.length, L)
+    return _result(final, tokens, L, "prefix", log_domain=True)
