@@ -9,6 +9,7 @@ shards over a ('data', 'model') mesh via GSPMD annotations.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -87,6 +88,70 @@ def make_sharded_train_step(config: Config, mesh: Mesh,
     return jit_step, params, opt_state
 
 
+def train_loop(config: Config, num_steps: int = 20,
+               checkpoint_path: Optional[str] = None,
+               resume: bool = False, log_every: int = 5,
+               mesh=None):
+    """Training loop with checkpoint/resume.
+
+    The reference has no checkpointing (SURVEY.md §5); here model params
+    + step counter round-trip through runtime.checkpoint. Loss on the
+    synthetic workload must decrease — asserted in tests.
+    """
+    import numpy as np
+    from gasr_tpu.runtime.checkpoint import load_params, save_params
+    from gasr_tpu.runtime.timer import Timer
+
+    optimizer = make_optimizer()
+    params = model_init(config, jax.random.PRNGKey(config.seed))
+    start_step = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        blob = load_params(checkpoint_path, {"params": params,
+                                             "step": jnp.zeros((), jnp.int32)})
+        params = blob["params"]
+        start_step = int(blob["step"])
+    opt_state = optimizer.init(params)
+    step_fn = jax.jit(make_train_step(config, optimizer),
+                      donate_argnums=(0, 1))
+
+    key = jax.random.PRNGKey(1234 + start_step)
+    losses = []
+    for i in range(start_step, start_step + num_steps):
+        key, k = jax.random.split(key)
+        batch = synthetic_batch(config, k)
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        if (i + 1) % log_every == 0 or i == start_step:
+            Timer.sync(metrics)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            print(f"step {i + 1}: loss={loss:.4f} "
+                  f"grad_norm={float(metrics['grad_norm']):.3f}",
+                  flush=True)
+    if checkpoint_path:
+        save_params(checkpoint_path,
+                    {"params": params,
+                     "step": jnp.asarray(start_step + num_steps, jnp.int32)})
+    return params, losses
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="deepspeech")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    cfg = Config(model=args.model, batch_size=args.batch,
+                 linear_size=args.hidden, rnn_hidden_size=args.hidden,
+                 seg_len=args.frames, vocab_size=28)
+    train_loop(cfg, num_steps=args.steps, checkpoint_path=args.checkpoint,
+               resume=args.resume)
+
+
 def synthetic_batch(config: Config, key: jax.Array, max_label_len: int = 20
                     ) -> Dict[str, jax.Array]:
     """Random batch in the training-batch schema (synthetic workload,
@@ -100,3 +165,5 @@ def synthetic_batch(config: Config, key: jax.Array, max_label_len: int = 20
         "input_lengths": jnp.full((B,), T, jnp.int32),
         "label_lengths": jax.random.randint(k4, (B,), S // 2, S + 1),
     }
+if __name__ == "__main__":
+    main()
