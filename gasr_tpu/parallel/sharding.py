@@ -52,6 +52,21 @@ def deepspeech_param_specs(params: Dict[str, Any],
     }
 
 
+def generic_param_specs(params: Any, tp_axis: str = "model",
+                        min_dim: int = 256) -> Any:
+    """Heuristic TP specs for arbitrary model pytrees (BiLSTM, DS2,
+    Conformer-L): shard the LAST axis of any >=2D weight whose last dim
+    is divisible-by-mesh and >= min_dim; replicate everything else.
+    Column-parallel everywhere keeps activations replicated and lets
+    GSPMD insert all-gathers only where profitable."""
+    def spec_for(x) -> P:
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 2 and shape[-1] >= min_dim:
+            return P(*([None] * (len(shape) - 1) + [tp_axis]))
+        return P()
+    return jax.tree.map(spec_for, params)
+
+
 def batch_specs(dp_axis: str = "data") -> Dict[str, P]:
     """Specs for a training batch dict."""
     return {
