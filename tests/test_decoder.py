@@ -192,3 +192,18 @@ def test_matched_merge_equals_sort_merge():
                 assert (np.asarray(fast.tokens)[b, w, :n].tolist()
                         == np.asarray(slow.tokens)[b, w, :n].tolist()), \
                     (T, B, V, W, b, w)
+
+
+def test_approx_topk_mode_runs_and_agrees_on_top1():
+    """approx_max_k serving mode: top-1 transcripts should virtually
+    always match the exact decoder (boundary recall only affects the
+    beam tail)."""
+    rng = np.random.default_rng(11)
+    lp = rand_logprobs(rng, 20, 4, 12)
+    exact = ctc_beam_search(jnp.asarray(lp), beam_width=8, max_len=32)
+    approx = ctc_beam_search(jnp.asarray(lp), beam_width=8, max_len=32,
+                             topk_impl="approx")
+    e = decode_to_lists(exact)
+    a = decode_to_lists(approx)
+    matches = sum(1 for x, y in zip(e, a) if x[0] == y[0])
+    assert matches >= 3   # allow at most 1 of 4 to differ
