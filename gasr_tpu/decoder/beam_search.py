@@ -476,6 +476,7 @@ def ctc_beam_search(
     prob_domain: bool = False,
     merge_impl: str = "auto",
     topk_impl: str = "exact",
+    input_lengths: Optional[jax.Array] = None,
 ) -> BeamSearchResult:
     """Batched CTC beam search.
 
@@ -500,6 +501,25 @@ def ctc_beam_search(
     T, B, V = log_probs.shape
     W = beam_width
     L = max_len
+
+    if input_lengths is not None:
+        # per-utterance lengths (the baseline's out_lens,
+        # baseline/main.py:45): frames at t >= length[b] are replaced by
+        # a deterministic blank, which leaves every prefix's total
+        # probability (and hence transcripts AND scores) unchanged —
+        # the same identity the CTC loss padding uses.
+        if not log_domain:
+            raise ValueError("input_lengths requires log-domain scores")
+        if algorithm != "prefix":
+            # the reference algorithm's final-frame blank strip interacts
+            # with pruning, so padding is not score-exact there; decode
+            # per-utterance truncated inputs instead.
+            raise ValueError("input_lengths requires algorithm='prefix'")
+        t_idx = jnp.arange(T)[:, None]                    # [T, 1]
+        pad = t_idx >= input_lengths[None, :]             # [T, B]
+        onehot_blank = jnp.where(jnp.arange(V) == blank_id, 0.0, NEG_INF)
+        log_probs = jnp.where(pad[:, :, None],
+                              onehot_blank[None, None, :], log_probs)
 
     init = _init_beam(B, W, log_domain)
     frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,

@@ -207,3 +207,31 @@ def test_approx_topk_mode_runs_and_agrees_on_top1():
     a = decode_to_lists(approx)
     matches = sum(1 for x, y in zip(e, a) if x[0] == y[0])
     assert matches >= 3   # allow at most 1 of 4 to differ
+
+
+@pytest.mark.parametrize("algorithm", ["prefix"])
+def test_input_lengths_equal_truncated_decode(algorithm):
+    """Variable-length decode == separate decode of each truncated
+    utterance (transcripts AND scores)."""
+    rng = np.random.default_rng(5)
+    T, B, V, W = 16, 3, 5, 6
+    lens = [16, 11, 7]
+    lp = rand_logprobs(rng, T, B, V)
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=32,
+                          algorithm=algorithm,
+                          input_lengths=jnp.asarray(lens))
+    outs = decode_to_lists(res)
+    for b, Lb in enumerate(lens):
+        want = ctc_beam_search(jnp.asarray(lp[:Lb, b:b + 1]), beam_width=W,
+                               max_len=32, algorithm=algorithm)
+        wids, wscore = decode_to_lists(want)[0]
+        ids, score = outs[b]
+        assert ids == wids, (b, ids, wids)
+        np.testing.assert_allclose(score, wscore, rtol=1e-4)
+
+
+def test_input_lengths_rejected_for_reference():
+    lp = jnp.zeros((4, 1, 3))
+    with pytest.raises(ValueError):
+        ctc_beam_search(lp, beam_width=2, algorithm="reference",
+                        input_lengths=jnp.array([3]))
