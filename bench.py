@@ -166,7 +166,25 @@ def main():
     ap.add_argument("--no-decode", action="store_true")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--baseline-iters", type=int, default=2)
+    ap.add_argument("--fault-inject", action="store_true",
+                    help="failure-detection drill: corrupt logits with "
+                         "NaN and verify assert_finite fires")
     args = ap.parse_args()
+
+    if args.fault_inject:
+        import jax
+        import jax.numpy as jnp
+        from gasr_tpu.runtime.validation import (
+            NumericsError, assert_finite, inject_fault)
+        lp = jnp.zeros((4, 2, 3))
+        bad = inject_fault(lp, "nan")
+        try:
+            assert_finite(bad, "logits")
+        except NumericsError as e:
+            print(json.dumps({"fault_injection": "detected",
+                              "error": str(e)}))
+            return
+        raise SystemExit("fault went UNDETECTED")
 
     from gasr_tpu.config import Config
     if args.small:

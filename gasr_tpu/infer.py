@@ -45,6 +45,8 @@ class Pipeline:
             lambda p, x: model_apply(config, p, x))
 
     def log_probs(self, features: jax.Array) -> jax.Array:
+        from gasr_tpu.runtime.validation import check_features
+        check_features(features, self.config.feat_size)
         return self._fwd(self.params, features)
 
     def transcribe(self, features: jax.Array, top: int = 1

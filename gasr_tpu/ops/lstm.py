@@ -71,13 +71,23 @@ def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
 
 
 def lstm_forward(params: dict, x: jax.Array,
-                 state0: Optional[Tuple[jax.Array, jax.Array]] = None
-                 ) -> jax.Array:
-    """x: [T, B, in] -> [T, B, H * n_dir]. Zero initial state default."""
+                 state0: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 impl: str = "scan") -> jax.Array:
+    """x: [T, B, in] -> [T, B, H * n_dir]. Zero initial state default.
+
+    impl: 'scan' (XLA) or 'pallas' (VMEM-resident recurrent weights,
+    ops/pallas/lstm_scan.py; falls back to scan off-tileable shapes).
+    """
     layers = params["layers"]
     layers_rev = params.get("layers_rev")
     T, B = x.shape[0], x.shape[1]
     H = layers[0]["w_hh"].shape[0]
+
+    if impl == "pallas":
+        from gasr_tpu.ops.pallas.lstm_scan import lstm_scan_pallas
+        run = lstm_scan_pallas
+    else:
+        run = _scan_one_direction
 
     out = x
     for l, cell in enumerate(layers):
@@ -86,10 +96,9 @@ def lstm_forward(params: dict, x: jax.Array,
             c0 = jnp.zeros((B, H), x.dtype)
         else:
             h0, c0 = state0
-        fwd = _scan_one_direction(cell, out, h0, c0, reverse=False)
+        fwd = run(cell, out, h0, c0, reverse=False)
         if layers_rev is not None:
-            bwd = _scan_one_direction(layers_rev[l], out, h0, c0,
-                                      reverse=True)
+            bwd = run(layers_rev[l], out, h0, c0, reverse=True)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd

@@ -88,8 +88,9 @@ def _supported(B: int, H: int) -> bool:
 
 
 def rnn_scan_pallas(cell: dict, x: jax.Array, h0: jax.Array,
+                    reverse: bool = False,
                     weight_dtype=jnp.bfloat16) -> jax.Array:
-    """Drop-in for ops.rnn._scan_one_direction(reverse=False).
+    """Drop-in for ops.rnn._scan_one_direction.
 
     x: [T, B, in] raw layer input; the input projection is one big XLA
     GEMM (MXU-optimal), the recurrence runs in the Pallas kernel.
@@ -101,8 +102,8 @@ def rnn_scan_pallas(cell: dict, x: jax.Array, h0: jax.Array,
     if not _supported(B, H):
         # shape not tileable: fall back to the XLA scan
         from gasr_tpu.ops.rnn import _scan_one_direction
-        return _scan_one_direction(cell, x, h0, reverse=False)
+        return _scan_one_direction(cell, x, h0, reverse=reverse)
     interpret = jax.default_backend() != "tpu"
-    return rnn_scan_pallas_raw(xw, cell["w_hh"], h0, reverse=False,
+    return rnn_scan_pallas_raw(xw, cell["w_hh"], h0, reverse=reverse,
                                interpret=interpret,
                                weight_dtype=weight_dtype)

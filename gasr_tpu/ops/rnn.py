@@ -117,12 +117,17 @@ def rnn_forward(params: dict, x: jax.Array, h0: Optional[jax.Array] = None,
     out = x
     for l, cell in enumerate(layers):
         h_init = (jnp.zeros((B, H), x.dtype) if h0 is None else h0)
-        if impl == "pallas" and layers_rev is None:
+        if impl == "pallas":
             fwd = rnn_scan_pallas(cell, out, h_init)
         else:
             fwd = _scan_one_direction(cell, out, h_init, reverse=False)
         if layers_rev is not None:
-            bwd = _scan_one_direction(layers_rev[l], out, h_init, reverse=True)
+            if impl == "pallas":
+                bwd = rnn_scan_pallas(layers_rev[l], out, h_init,
+                                      reverse=True)
+            else:
+                bwd = _scan_one_direction(layers_rev[l], out, h_init,
+                                          reverse=True)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd

@@ -109,3 +109,31 @@ def import_torch_deepspeech(state_dict: Dict[str, Any],
         "mlp5": lin("mlp56.0.weight", "mlp56.0.bias"),
         "mlp6": lin("mlp56.2.weight", "mlp56.2.bias"),
     }
+
+
+def import_torch_lstm(state_dict: Dict[str, Any], num_layers: int = 1,
+                      bidirectional: bool = False,
+                      prefix: str = "") -> dict:
+    """Map a torch.nn.LSTM state_dict onto our ops/lstm.py pytree
+    (gate order i,f,g,o preserved; weights transposed to [in, 4H])."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach")
+              else np.asarray(v))
+          for k, v in state_dict.items()}
+    layers, layers_rev = [], []
+    for l in range(num_layers):
+        def cell(suffix: str) -> dict:
+            return {
+                "w_ih": jnp.asarray(_t(sd[f"{prefix}weight_ih_l{l}{suffix}"])),
+                "w_hh": jnp.asarray(_t(sd[f"{prefix}weight_hh_l{l}{suffix}"])),
+                "b_ih": jnp.asarray(
+                    sd[f"{prefix}bias_ih_l{l}{suffix}"].astype(np.float32)),
+                "b_hh": jnp.asarray(
+                    sd[f"{prefix}bias_hh_l{l}{suffix}"].astype(np.float32)),
+            }
+        layers.append(cell(""))
+        if bidirectional:
+            layers_rev.append(cell("_reverse"))
+    params = {"layers": layers}
+    if bidirectional:
+        params["layers_rev"] = layers_rev
+    return params
