@@ -260,7 +260,7 @@ def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
             tb=sel(g(new_tb)),
             live=new_live, s1=ns1, s2=ns2,
         )
-        ys = (sel(g(parent)), sel(g(n_last)), sel(g(append)))
+        ys = _pack_ys(sel(g(parent)), sel(g(n_last)), sel(g(append)))
         return new_state, ys
 
     return frame_step
@@ -395,60 +395,74 @@ def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int,
             live=new_live,
             s1=ns1, s2=ns2,
         )
-        ys = (w_sel, jnp.where(is_stay, last_g, v_sel),
-              (~is_stay) & new_live)
+        ys = _pack_ys(w_sel, jnp.where(is_stay, last_g, v_sel),
+                      (~is_stay) & new_live)
         return new_state, ys
 
     return frame_step
 
 
-def _traceback(parents, chars, appendeds, final_lengths, L,
+def _pack_ys(parent, char, appended):
+    """Backpointer fields -> one int32: parent | char<<15 | appended<<30.
+
+    One packed array means ONE gather per traceback step instead of
+    three (the traceback is T sequential steps of [B, W] gathers)."""
+    return (parent | (jnp.maximum(char, 0) << 15)
+            | (appended.astype(jnp.int32) << 30))
+
+
+def _unpack_ys(packed):
+    parent = packed & 0x7FFF
+    char = (packed >> 15) & 0x7FFF
+    appended = (packed >> 30) & 1
+    return parent, char, appended.astype(jnp.bool_)
+
+
+def _traceback(packed_ys, final_lengths, L,
                base_tokens: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, jax.Array]:
     """Reconstruct prefixes from per-frame backpointers.
 
-    parents/chars/appendeds: [Tc, B, W]; final_lengths: [B, W] (absolute
-    prefix lengths at the end of the chunk). Emissions land at their
-    absolute positions (head-keeping on overflow: positions >= L drop).
-    base_tokens [B, W, L] are the materialized prefixes at CHUNK START,
-    indexed by the chunk's start slots; pass None for a fresh decode.
+    packed_ys: [Tc, B, W] int32 (see _pack_ys); final_lengths: [B, W]
+    (absolute prefix lengths at the end of the chunk). Emissions land at
+    their absolute positions (head-keeping on overflow: positions >= L
+    drop). base_tokens [B, W, L] are the materialized prefixes at CHUNK
+    START, indexed by the chunk's start slots; None for a fresh decode.
     Returns (tokens [B, W, L], start_parent [B, W]).
     """
-    Tc, B, W = parents.shape
+    Tc, B, W = packed_ys.shape
 
     def backstep(carry, y):
         cur, pos = carry                          # [B, W] each
-        parent_t, char_t, app_t = y
-
-        def take(x):
-            return jnp.take_along_axis(x, cur, axis=1)
-        a = take(app_t)
-        c = take(char_t)
-        p = take(parent_t)
+        packed = jnp.take_along_axis(y, cur, axis=1)
+        p, c, a = _unpack_ys(packed)
         emit_pos = jnp.where(a, jnp.minimum(pos - 1, L), L)  # L = discard
+        emit_pos = jnp.where(emit_pos < 0, L, emit_pos)
         new_pos = jnp.where(a, pos - 1, pos)
         return (p, new_pos), (jnp.where(a, c, -1), emit_pos)
 
     cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
     (start_parent, _), (tok_vals, tok_pos) = lax.scan(
-        backstep, (cur0, final_lengths), (parents, chars, appendeds),
-        reverse=True)
+        backstep, (cur0, final_lengths), packed_ys, reverse=True)
 
     tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, Tc]
     tok_pos = jnp.moveaxis(tok_pos, 0, -1)
 
     if base_tokens is None:
-        base = jnp.full((B, W, L + 1), -1, jnp.int32)
+        base = jnp.full((B * W * (L + 1),), -1, jnp.int32)
     else:
         gathered = jnp.take_along_axis(
             base_tokens, start_parent[:, :, None], axis=1)
         base = jnp.concatenate(
-            [gathered, jnp.full((B, W, 1), -1, jnp.int32)], axis=-1)
+            [gathered, jnp.full((B, W, 1), -1, jnp.int32)],
+            axis=-1).reshape(-1)
 
-    def fill(base_row, vals, pos):                # [L+1], [Tc] -> [L+1]
-        return base_row.at[pos].set(vals, mode="drop")
-
-    tokens = jax.vmap(jax.vmap(fill))(base, tok_vals, tok_pos)[:, :, :L]
+    # one flat scatter for all (b, w) rows
+    row = (jnp.arange(B * W, dtype=jnp.int32)
+           .reshape(B, W, 1)) * (L + 1)
+    flat_idx = (row + tok_pos).reshape(-1)
+    tokens = base.at[flat_idx].set(tok_vals.reshape(-1), mode="drop")
+    tokens = tokens.reshape(B, W, L + 1)[:, :, :L]
     return tokens, start_parent
 
 
@@ -531,10 +545,10 @@ def ctc_beam_search(
         # t=1..T-1 loop (.cu:278-281); T==1 never strips.
         is_last_arr = is_last_arr.at[T - 1].set(True)
 
-    final, (parents, chars, appendeds) = lax.scan(
+    final, packed_ys = lax.scan(
         frame_step, init, (log_probs, is_last_arr))
 
-    tokens, _ = _traceback(parents, chars, appendeds, final.length, L)
+    tokens, _ = _traceback(packed_ys, final.length, L)
     return _result(final, tokens, L, algorithm, log_domain)
 
 
@@ -594,10 +608,10 @@ def streaming_step(
     if algorithm == "reference" and is_final:
         is_last_arr = is_last_arr.at[Tc - 1].set(True)
 
-    final, (parents, chars, appendeds) = lax.scan(
+    final, packed_ys = lax.scan(
         frame_step, state.beam, (chunk_log_probs, is_last_arr))
 
-    tokens, _ = _traceback(parents, chars, appendeds, final.length, L,
+    tokens, _ = _traceback(packed_ys, final.length, L,
                            base_tokens=state.tokens)
     new_state = StreamingState(beam=final, tokens=tokens)
     return new_state, _result(final, tokens, L, algorithm, log_domain)

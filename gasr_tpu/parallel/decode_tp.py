@@ -164,8 +164,9 @@ def _tp_frame_step(B, W, V, Vl, blank_id, axis):
             live=new_live,
             s1=ns1, s2=ns2,
         )
-        ys = (w_sel, jnp.where(is_stay, gw(state.last), v_pos),
-              (~is_stay) & new_live)
+        from gasr_tpu.decoder.beam_search import _pack_ys
+        ys = _pack_ys(w_sel, jnp.where(is_stay, gw(state.last), v_pos),
+                      (~is_stay) & new_live)
         return new_state, ys
 
     return frame_step
@@ -214,6 +215,6 @@ def ctc_beam_search_tp(
         out_specs=(repl, repl),
         check_vma=False,
     )
-    final, (parents, chars, appendeds) = run_sharded(log_probs, init)
-    tokens, _ = _traceback(parents, chars, appendeds, final.length, L)
+    final, packed_ys = run_sharded(log_probs, init)
+    tokens, _ = _traceback(packed_ys, final.length, L)
     return _result(final, tokens, L, "prefix", log_domain=True)
