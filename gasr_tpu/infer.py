@@ -66,6 +66,35 @@ class Pipeline:
             max_len=self.config.decode_max_len, algorithm=algorithm)
         return decode_to_lists(res, top=top)
 
+    def transcribe_streaming(self, feature_chunks,
+                             ) -> List[Tuple[List[int], float]]:
+        """Decode an iterable of [B, Tc, F] feature chunks with carried
+        MODEL state and carried BEAM state — exactly equivalent to a
+        full-utterance transcribe, with unbounded total length.
+
+        Requires a streaming-capable topology (deepspeech,
+        unidirectional). For incremental partial results use
+        decoder.beam_search.streaming_step directly.
+        """
+        if self.config.model != "deepspeech" or self.config.bidirectional:
+            raise ValueError(
+                "streaming requires the unidirectional deepspeech model")
+        from gasr_tpu.decoder.beam_search import (
+            decode_to_lists, streaming_init, streaming_step)
+        from gasr_tpu.models.deepspeech import deepspeech_apply_streaming
+        fwd = jax.jit(deepspeech_apply_streaming)
+        state = rnn_state = None
+        chunks = list(feature_chunks)
+        for i, chunk in enumerate(chunks):
+            lp, rnn_state = fwd(self.params, chunk, rnn_state)
+            if state is None:
+                state = streaming_init(lp.shape[1], self.config.beam_width,
+                                       max_len=self.config.decode_max_len)
+            state, snap = streaming_step(
+                state, lp, blank_id=self.config.blank_id,
+                is_final=(i == len(chunks) - 1))
+        return decode_to_lists(snap)
+
     def to_text(self, ids: Sequence[int]) -> str:
         if self.vocab is None:
             return " ".join(map(str, ids))

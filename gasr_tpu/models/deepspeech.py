@@ -60,3 +60,23 @@ def deepspeech_apply(params: dict, x: jax.Array, *,
         # the decoder as raw "probabilities" (main.cpp:45,64-72).
         return jnp.maximum(logits, 0.0)
     return jax.nn.log_softmax(logits, axis=-1)
+
+
+def deepspeech_apply_streaming(params: dict, x: jax.Array, rnn_state=None):
+    """Chunked forward with carried RNN state.
+
+    x: [B, Tc, feat] -> (log-probs [Tc, B, vocab+1], new rnn_state).
+    The MLP stacks are frame-local and the RNN is unidirectional, so
+    chunked application with state carry is EXACTLY equivalent to the
+    full-utterance forward — the property that makes DeepSpeech a
+    streaming-friendly topology.
+    """
+    from gasr_tpu.ops.rnn import rnn_forward_streaming
+    x = jnp.transpose(x, (1, 0, 2))
+    h = linear(params["mlp1"], x, "relu")
+    h = linear(params["mlp2"], h, "relu")
+    h = linear(params["mlp3"], h, "relu")
+    h, rnn_state = rnn_forward_streaming(params["rnn"], h, rnn_state)
+    h = linear(params["mlp5"], h, "relu")
+    logits = linear(params["mlp6"], h, None)
+    return jax.nn.log_softmax(logits, axis=-1), rnn_state

@@ -77,7 +77,7 @@ def rnn_init(key: jax.Array, input_size: int, hidden_size: int,
 
 
 def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
-                        reverse: bool) -> jax.Array:
+                        reverse: bool, return_final: bool = False):
     """Scan one layer/direction. x: [T, B, in] -> [T, B, H].
 
     The input projection is hoisted out of the scan as one large GEMM;
@@ -91,7 +91,9 @@ def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
         h = jnp.tanh(xw_t + jnp.dot(h, w_hh, preferred_element_type=jnp.float32))
         return h, h
 
-    _, hs = lax.scan(step, h0, xw, reverse=reverse)
+    h_final, hs = lax.scan(step, h0, xw, reverse=reverse)
+    if return_final:
+        return hs, h_final
     return hs
 
 
@@ -132,3 +134,27 @@ def rnn_forward(params: dict, x: jax.Array, h0: Optional[jax.Array] = None,
         else:
             out = fwd
     return out
+
+
+def rnn_forward_streaming(params: dict, x: jax.Array,
+                          h_stack: Optional[jax.Array] = None):
+    """Unidirectional forward carrying hidden state across chunks.
+
+    x: [Tc, B, in]; h_stack: [num_layers, B, H] (None -> zeros).
+    Returns (out [Tc, B, H], new h_stack) — chunked calls are exactly
+    equivalent to one full-sequence rnn_forward.
+    """
+    layers = params["layers"]
+    if "layers_rev" in params:
+        raise ValueError("bidirectional RNNs cannot stream")
+    B = x.shape[1]
+    H = layers[0]["w_hh"].shape[0]
+    if h_stack is None:
+        h_stack = jnp.zeros((len(layers), B, H), x.dtype)
+    out = x
+    finals = []
+    for l, cell in enumerate(layers):
+        out, h_fin = _scan_one_direction(cell, out, h_stack[l],
+                                         reverse=False, return_final=True)
+        finals.append(h_fin)
+    return out, jnp.stack(finals)

@@ -57,3 +57,35 @@ def test_streaming_intermediate_snapshots_valid():
         exp = decode_to_lists(want)
         assert [g[0] for g in got] == [w[0] for w in exp]
         state = state2
+
+
+def test_pipeline_streaming_equals_batch():
+    """End-to-end: chunked model forward (carried RNN state) + chunked
+    beam decode == one-shot transcribe."""
+    import jax
+    from gasr_tpu.config import Config
+    from gasr_tpu.infer import Pipeline
+    cfg = Config(batch_size=2, input_size=6, n_context=1, linear_size=16,
+                 rnn_hidden_size=16, vocab_size=5, seg_len=12,
+                 beam_width=4, decode_max_len=16)
+    pipe = Pipeline(cfg)
+    feats = jax.random.uniform(jax.random.PRNGKey(3),
+                               (2, 12, cfg.feat_size))
+    want = pipe.transcribe(feats)
+    got = pipe.transcribe_streaming(
+        [feats[:, :5], feats[:, 5:9], feats[:, 9:]])
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        np.testing.assert_allclose(gs, ws, rtol=1e-5)
+
+
+def test_pipeline_streaming_rejects_non_streamable():
+    import jax
+    from gasr_tpu.config import Config
+    from gasr_tpu.infer import Pipeline
+    cfg = Config(model="bilstm", batch_size=1, input_size=4, n_context=0,
+                 rnn_hidden_size=8, bidirectional=True, vocab_size=3,
+                 seg_len=6)
+    pipe = Pipeline(cfg)
+    with pytest.raises(ValueError):
+        pipe.transcribe_streaming([jax.numpy.zeros((1, 3, 4))])
