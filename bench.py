@@ -159,6 +159,47 @@ def measure_torch_baseline(cfg, iters: int, cache_path: str):
     return result
 
 
+REPORT_PRESETS = ["reference_large", "bilstm_2x256", "deepspeech2",
+                  "conformer_s"]
+
+
+def run_report(args):
+    """Bench every model-family preset; write RESULTS.md + print JSON."""
+    from gasr_tpu.config import PRESETS
+    import jax
+    rows = []
+    for name in REPORT_PRESETS:
+        cfg = PRESETS[name]
+        _log(f"=== preset {name} (model={cfg.model}) ===")
+        iters = args.iters or 3
+        r = measure_ours(cfg, iters, decode=not args.no_decode)
+        audio = cfg.batch_size * cfg.seg_len * FRAME_SHIFT_S
+        rows.append({
+            "preset": name, "model": cfg.model,
+            "batch": cfg.batch_size, "T": cfg.seg_len,
+            "beam": cfg.beam_width,
+            "forward_ms": round(r["forward_s"] * 1e3, 2),
+            "decode_ms": round(r["decode_s"] * 1e3, 2),
+            "audio_s_per_s": round(audio / r["overall_s"], 1),
+        })
+    dev = str(jax.devices()[0])
+    lines = [
+        "# Benchmark results (per-iteration means)", "",
+        f"Device: {dev}", "",
+        "| preset | model | B | T | beam | fwd ms | decode ms | audio-s/s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['preset']} | {r['model']} | {r['batch']} | {r['T']} | "
+            f"{r['beam']} | {r['forward_ms']} | {r['decode_ms']} | "
+            f"{r['audio_s_per_s']} |")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"metric": "report", "rows": rows}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -169,6 +210,10 @@ def main():
     ap.add_argument("--fault-inject", action="store_true",
                     help="failure-detection drill: corrupt logits with "
                          "NaN and verify assert_finite fires")
+    ap.add_argument("--config", default=None,
+                    help="bench a named preset from gasr_tpu.config.PRESETS")
+    ap.add_argument("--report", action="store_true",
+                    help="bench all model-family presets -> RESULTS.md")
     args = ap.parse_args()
 
     if args.fault_inject:
@@ -186,13 +231,19 @@ def main():
             return
         raise SystemExit("fault went UNDETECTED")
 
-    from gasr_tpu.config import Config
-    if args.small:
+    from gasr_tpu.config import Config, PRESETS
+    if args.config:
+        cfg = PRESETS[args.config]
+    elif args.small:
         cfg = Config(batch_size=8, linear_size=256, rnn_hidden_size=256,
                      seg_len=50, beam_width=10, epoch=3)
     else:
         cfg = Config()  # flagship: reference config shapes
     iters = args.iters or cfg.epoch
+
+    if args.report:
+        run_report(args)
+        return
 
     ours = measure_ours(cfg, iters, decode=not args.no_decode)
 

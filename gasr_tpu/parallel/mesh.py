@@ -12,6 +12,15 @@ parallelism axis:
 
 Collectives ride ICI within a slice; XLA inserts them from NamedSharding
 annotations — no hand-written NCCL-equivalents.
+
+Scope decisions (SURVEY.md §2.3): pipeline parallelism is intentionally
+out of scope at these model sizes (the largest config, Conformer-L at
+~100M params, fits comfortably per-chip; TP exists for activation-bound
+cases). Expert parallelism is out of scope (no MoE in the capability
+surface). Sequence parallelism is covered operationally by streaming
+chunked decode (unbounded T with carried state) rather than ring
+attention, which only becomes relevant for very-long-context Conformer
+variants.
 """
 
 from __future__ import annotations

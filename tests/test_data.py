@@ -58,3 +58,12 @@ def test_synthetic_dataset_schema():
     assert b["inputs"].shape == (3, 10, cfg.feat_size)
     assert b["labels"].max() <= cfg.output_size - 1
     assert (b["label_lengths"] >= 3).all()
+
+
+def test_print_array_info(capsys):
+    from gasr_tpu.utils import print_array_info, tree_size_bytes
+    x = jnp.arange(12.0).reshape(3, 4)
+    print_array_info(x, "probe")
+    out = capsys.readouterr().out
+    assert "probe" in out and "(3, 4)" in out and "finite=True" in out
+    assert tree_size_bytes({"a": x}) == 12 * 4
