@@ -100,6 +100,34 @@ class Pipeline:
             return " ".join(map(str, ids))
         return "".join(self.vocab[i] for i in ids)
 
+    def transcribe_audio(self, audio_batch: Sequence[np.ndarray],
+                         sample_rate: int = 16000) -> List[str]:
+        """Raw waveforms -> transcripts: native log-mel frontend ->
+        n_context stacking -> model -> beam decode. Utterances are
+        padded to the longest and decoded with per-utterance lengths."""
+        from gasr_tpu.data.features import add_context
+        from gasr_tpu.native import logmel
+        from gasr_tpu.decoder import ctc_beam_search
+        from gasr_tpu.decoder.beam_search import decode_to_lists
+
+        feats = [logmel(a, sample_rate=sample_rate,
+                        n_mels=self.config.input_size)
+                 for a in audio_batch]
+        lengths = np.array([f.shape[0] for f in feats], np.int32)
+        T = int(lengths.max())
+        padded = np.zeros((len(feats), T, self.config.input_size),
+                          np.float32)
+        for i, f in enumerate(feats):
+            padded[i, :f.shape[0]] = f
+        x = add_context(jnp.asarray(padded), self.config.n_context)
+        lp = self.log_probs(x)
+        res = ctc_beam_search(
+            lp, beam_width=self.config.beam_width,
+            blank_id=self.config.blank_id,
+            max_len=self.config.decode_max_len,
+            input_lengths=jnp.asarray(lengths))
+        return [self.to_text(ids) for ids, _ in decode_to_lists(res)]
+
 
 def main():
     import argparse

@@ -89,3 +89,22 @@ def test_pipeline_streaming_rejects_non_streamable():
     pipe = Pipeline(cfg)
     with pytest.raises(ValueError):
         pipe.transcribe_streaming([jax.numpy.zeros((1, 3, 4))])
+
+
+def test_transcribe_audio_end_to_end():
+    """Raw audio -> native log-mel -> model -> variable-length beam
+    decode -> text, with unequal utterance lengths."""
+    import numpy as np
+    from gasr_tpu.config import Config
+    from gasr_tpu.infer import Pipeline
+    pytest.importorskip("gasr_tpu.native")
+    rng = np.random.default_rng(0)
+    cfg = Config(batch_size=2, input_size=13, n_context=1, linear_size=16,
+                 rnn_hidden_size=16, vocab_size=27, seg_len=0,
+                 beam_width=4, decode_max_len=32)
+    pipe = Pipeline(cfg)
+    audio = [rng.standard_normal(8000).astype(np.float32),
+             rng.standard_normal(4800).astype(np.float32)]
+    texts = pipe.transcribe_audio(audio, sample_rate=16000)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
