@@ -39,3 +39,37 @@ def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
             n = int(want.lengths[b, w])
             assert (np.asarray(got.tokens)[b, w, :n].tolist()
                     == np.asarray(want.tokens)[b, w, :n].tolist()), (b, w)
+
+
+def test_conformer_l_sharded_forward_plus_tp_decode():
+    """BASELINE config-5 capability slice: Conformer (TP-sharded weights
+    via generic specs) -> model-axis tensor-parallel beam decode, on one
+    ('data','model') mesh; equals the unsharded pipeline."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gasr_tpu.config import Config
+    from gasr_tpu.models import model_apply, model_init
+    from gasr_tpu.parallel.sharding import generic_param_specs, shard_tree
+
+    cfg = Config(model="conformer_l", batch_size=4, input_size=16,
+                 n_context=0, linear_size=64, vocab_size=11, seg_len=16,
+                 num_blocks=2, beam_width=6)
+    mesh = make_mesh({"data": 2, "model": 4})
+    params = model_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16))
+
+    lp_ref = jax.jit(lambda p, x: model_apply(cfg, p, x))(params, x)
+    want = ctc_beam_search(lp_ref, beam_width=6, max_len=16)
+
+    sp = shard_tree(params, generic_param_specs(params, min_dim=64), mesh)
+    sx = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    with mesh:
+        lp = jax.jit(lambda p, x: model_apply(cfg, p, x))(sp, sx)
+        got = ctc_beam_search_tp(lp, beam_width=6, mesh=mesh, max_len=16)
+
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               atol=1e-5)
+    for b in range(4):
+        n = int(want.lengths[b, 0])
+        assert (np.asarray(got.tokens)[b, 0, :n].tolist()
+                == np.asarray(want.tokens)[b, 0, :n].tolist())
