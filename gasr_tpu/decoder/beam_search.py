@@ -75,6 +75,12 @@ class BeamSearchResult(NamedTuple):
     scores: jax.Array    # [B, W] float32: log(p) ("prefix"/log "reference")
                          # or raw summed prob ("reference" prob_domain)
     overflow: jax.Array  # [B, W] bool
+    timesteps: jax.Array # [B, W, max_len] int32 (-1 padded): frame at
+                         # which the surviving hypothesis FIRST appended
+                         # each token — ctcdecode's first-creation
+                         # semantics, completing the baseline's 4-tuple
+                         # API (output, scores, timesteps, out_seq_len,
+                         # baseline/main.py:46)
 
 
 class _BeamState(NamedTuple):
@@ -93,7 +99,9 @@ class _BeamState(NamedTuple):
 class StreamingState(NamedTuple):
     """Carried across chunks: beam + materialized prefixes."""
     beam: _BeamState
-    tokens: jax.Array    # [B, W, max_len] int32
+    tokens: jax.Array     # [B, W, max_len] int32
+    timesteps: jax.Array  # [B, W, max_len] int32 (absolute frame index)
+    frames: jax.Array     # [] int32: total frames consumed so far
 
 
 def _logaddexp(a, b):
@@ -419,8 +427,9 @@ def _unpack_ys(packed):
 
 
 def _traceback(packed_ys, final_lengths, L,
-               base_tokens: Optional[jax.Array] = None
-               ) -> Tuple[jax.Array, jax.Array]:
+               base_tokens: Optional[jax.Array] = None,
+               base_timesteps: Optional[jax.Array] = None,
+               t_offset=0):
     """Reconstruct prefixes from per-frame backpointers.
 
     packed_ys: [Tc, B, W] int32 (see _pack_ys); final_lengths: [B, W]
@@ -434,40 +443,53 @@ def _traceback(packed_ys, final_lengths, L,
 
     def backstep(carry, y):
         cur, pos = carry                          # [B, W] each
-        packed = jnp.take_along_axis(y, cur, axis=1)
+        packed, t = y
+        packed = jnp.take_along_axis(packed, cur, axis=1)
         p, c, a = _unpack_ys(packed)
         emit_pos = jnp.where(a, jnp.minimum(pos - 1, L), L)  # L = discard
         emit_pos = jnp.where(emit_pos < 0, L, emit_pos)
         new_pos = jnp.where(a, pos - 1, pos)
-        return (p, new_pos), (jnp.where(a, c, -1), emit_pos)
+        return (p, new_pos), (jnp.where(a, c, -1), emit_pos,
+                              jnp.where(a, t, -1))
 
     cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
-    (start_parent, _), (tok_vals, tok_pos) = lax.scan(
-        backstep, (cur0, final_lengths), packed_ys, reverse=True)
+    t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)
+    (start_parent, _), (tok_vals, tok_pos, tok_t) = lax.scan(
+        backstep, (cur0, final_lengths), (packed_ys, t_idx), reverse=True)
 
     tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, Tc]
     tok_pos = jnp.moveaxis(tok_pos, 0, -1)
+    tok_t = jnp.moveaxis(tok_t, 0, -1)
 
-    if base_tokens is None:
-        base = jnp.full((B * W * (L + 1),), -1, jnp.int32)
-    else:
+    def gather_base(buf):
         gathered = jnp.take_along_axis(
-            base_tokens, start_parent[:, :, None], axis=1)
-        base = jnp.concatenate(
+            buf, start_parent[:, :, None], axis=1)
+        return jnp.concatenate(
             [gathered, jnp.full((B, W, 1), -1, jnp.int32)],
             axis=-1).reshape(-1)
 
-    # one flat scatter for all (b, w) rows
+    if base_tokens is None:
+        base = jnp.full((B * W * (L + 1),), -1, jnp.int32)
+        base_t = base
+    else:
+        base = gather_base(base_tokens)
+        base_t = gather_base(base_timesteps)
+
+    # one flat scatter per output buffer, all (b, w) rows at once
     row = (jnp.arange(B * W, dtype=jnp.int32)
            .reshape(B, W, 1)) * (L + 1)
     flat_idx = (row + tok_pos).reshape(-1)
-    tokens = base.at[flat_idx].set(tok_vals.reshape(-1), mode="drop")
-    tokens = tokens.reshape(B, W, L + 1)[:, :, :L]
-    return tokens, start_parent
+
+    def fill(b):
+        return b.reshape(B, W, L + 1)[:, :, :L]
+    tokens = fill(base.at[flat_idx].set(tok_vals.reshape(-1), mode="drop"))
+    timesteps = fill(base_t.at[flat_idx].set(tok_t.reshape(-1),
+                                             mode="drop"))
+    return tokens, timesteps, start_parent
 
 
-def _result(final: _BeamState, tokens: jax.Array, L: int, algorithm: str,
-            log_domain: bool) -> BeamSearchResult:
+def _result(final: _BeamState, tokens: jax.Array, timesteps: jax.Array,
+            L: int, algorithm: str, log_domain: bool) -> BeamSearchResult:
     null_score = NEG_INF if log_domain else 0.0
     scores = (_logaddexp(final.s1, final.s2) if algorithm == "prefix"
               else final.s1)
@@ -475,7 +497,8 @@ def _result(final: _BeamState, tokens: jax.Array, L: int, algorithm: str,
     lengths = jnp.where(final.live, final.length, 0)
     overflow = (lengths > L) & final.live
     return BeamSearchResult(tokens=tokens, lengths=lengths,
-                            scores=scores, overflow=overflow)
+                            scores=scores, overflow=overflow,
+                            timesteps=timesteps)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -548,8 +571,8 @@ def ctc_beam_search(
     final, packed_ys = lax.scan(
         frame_step, init, (log_probs, is_last_arr))
 
-    tokens, _ = _traceback(packed_ys, final.length, L)
-    return _result(final, tokens, L, algorithm, log_domain)
+    tokens, timesteps, _ = _traceback(packed_ys, final.length, L)
+    return _result(final, tokens, timesteps, L, algorithm, log_domain)
 
 
 def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl,
@@ -576,7 +599,9 @@ def streaming_init(batch_size: int, beam_width: int, max_len: int = 256,
     """Fresh streaming decode state for a batch."""
     beam = _init_beam(batch_size, beam_width, log_domain)
     tokens = jnp.full((batch_size, beam_width, max_len), -1, jnp.int32)
-    return StreamingState(beam=beam, tokens=tokens)
+    return StreamingState(beam=beam, tokens=tokens,
+                          timesteps=jnp.full_like(tokens, -1),
+                          frames=jnp.zeros((), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -611,10 +636,14 @@ def streaming_step(
     final, packed_ys = lax.scan(
         frame_step, state.beam, (chunk_log_probs, is_last_arr))
 
-    tokens, _ = _traceback(packed_ys, final.length, L,
-                           base_tokens=state.tokens)
-    new_state = StreamingState(beam=final, tokens=tokens)
-    return new_state, _result(final, tokens, L, algorithm, log_domain)
+    tokens, timesteps, _ = _traceback(
+        packed_ys, final.length, L, base_tokens=state.tokens,
+        base_timesteps=state.timesteps, t_offset=state.frames)
+    new_state = StreamingState(beam=final, tokens=tokens,
+                               timesteps=timesteps,
+                               frames=state.frames + Tc)
+    return new_state, _result(final, tokens, timesteps, L, algorithm,
+                              log_domain)
 
 
 def decode_to_lists(result: BeamSearchResult, top: int = 1):

@@ -216,5 +216,5 @@ def ctc_beam_search_tp(
         check_vma=False,
     )
     final, packed_ys = run_sharded(log_probs, init)
-    tokens, _ = _traceback(packed_ys, final.length, L)
-    return _result(final, tokens, L, "prefix", log_domain=True)
+    tokens, timesteps, _ = _traceback(packed_ys, final.length, L)
+    return _result(final, tokens, timesteps, L, "prefix", log_domain=True)

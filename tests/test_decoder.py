@@ -235,3 +235,44 @@ def test_input_lengths_rejected_for_reference():
     with pytest.raises(ValueError):
         ctc_beam_search(lp, beam_width=2, algorithm="reference",
                         input_lengths=jnp.array([3]))
+
+
+def test_timesteps_parity_with_torch_ctcdecode_semantics():
+    """timesteps[i] = frame at which token i was (last-)emitted into the
+    surviving hypothesis; monotonically increasing, within [0, T)."""
+    rng = np.random.default_rng(9)
+    T, B, V, W = 14, 2, 5, 4
+    lp = rand_logprobs(rng, T, B, V)
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=16)
+    ts = np.asarray(res.timesteps)
+    for b in range(B):
+        n = int(res.lengths[b, 0])
+        t = ts[b, 0, :n]
+        assert (t >= 0).all() and (t < T).all()
+        assert (np.diff(t) > 0).all(), t
+    # deterministic emission check on a constructed case: 'a' at frame 1,
+    # 'b' at frame 3
+    lp2 = np.full((5, 1, 3), -20.0, np.float32)
+    lp2[[0, 2, 4], 0, 0] = -0.001       # blank frames 0,2,4
+    lp2[1, 0, 1] = -0.001               # 'a' frame 1
+    lp2[3, 0, 2] = -0.001               # 'b' frame 3
+    r2 = ctc_beam_search(jnp.asarray(lp2), beam_width=2, max_len=8)
+    assert np.asarray(r2.tokens)[0, 0, :2].tolist() == [1, 2]
+    # first-creation semantics (= ctcdecode): 'a' enters the surviving
+    # chain at frame 0 (tiny prob), 'b' at frame 3
+    assert np.asarray(r2.timesteps)[0, 0, :2].tolist() == [0, 3]
+
+
+def test_streaming_timesteps_absolute():
+    from gasr_tpu.decoder.beam_search import streaming_init, streaming_step
+    lp2 = np.full((6, 1, 3), -20.0, np.float32)
+    lp2[[0, 2, 3, 5], 0, 0] = -0.001
+    lp2[1, 0, 1] = -0.001               # 'a' frame 1
+    lp2[4, 0, 2] = -0.001               # 'b' frame 4 (second chunk)
+    state = streaming_init(1, 2, max_len=8)
+    state, _ = streaming_step(state, jnp.asarray(lp2[:3]))
+    state, snap = streaming_step(state, jnp.asarray(lp2[3:]))
+    assert np.asarray(snap.tokens)[0, 0, :2].tolist() == [1, 2]
+    # 'a' first created frame 0; 'ab' pruned at frame 3 (W=2), recreated
+    # frame 4 — absolute timestep crosses the chunk boundary correctly
+    assert np.asarray(snap.timesteps)[0, 0, :2].tolist() == [0, 4]
