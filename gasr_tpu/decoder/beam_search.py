@@ -275,7 +275,8 @@ def _make_frame_step(B: int, W: int, V: int, blank_id: int, algorithm: str,
 
 
 def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int,
-                          topk_impl: str = "exact"):
+                          topk_impl: str = "exact",
+                          lm_bias: Optional[jax.Array] = None):
     """Matched-merge frame step for the "prefix" algorithm (log domain).
 
     Exploits a structural invariant the sort-based path ignores: beam
@@ -334,6 +335,10 @@ def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int,
         is_rep = vs[None, None, :] == state.last[:, :, None]
         ext_pnb = jnp.where(is_rep, pb[:, :, None], total[:, :, None]) \
             + f[:, None, :]
+        if lm_bias is not None:
+            # shallow fusion: additive LM score on append, conditioned on
+            # the previous character (row 0 = sentence start / empty).
+            ext_pnb = ext_pnb + jnp.take(lm_bias, state.last + 1, axis=0)
         # exclude extends absorbed into a stay (their identity already
         # exists in the beam): excl[b, w, v] = any w' with match==w and
         # last_w' == v
@@ -514,6 +519,7 @@ def ctc_beam_search(
     merge_impl: str = "auto",
     topk_impl: str = "exact",
     input_lengths: Optional[jax.Array] = None,
+    lm_bias: Optional[jax.Array] = None,
 ) -> BeamSearchResult:
     """Batched CTC beam search.
 
@@ -560,7 +566,7 @@ def ctc_beam_search(
 
     init = _init_beam(B, W, log_domain)
     frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
-                            merge_impl, topk_impl)
+                            merge_impl, topk_impl, lm_bias)
 
     is_last_arr = jnp.zeros((T,), jnp.bool_)
     if algorithm == "reference" and T > 1:
@@ -576,7 +582,7 @@ def ctc_beam_search(
 
 
 def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl,
-               topk_impl="exact"):
+               topk_impl="exact", lm_bias=None):
     if merge_impl not in ("auto", "matched", "sort"):
         raise ValueError(f"unknown merge_impl {merge_impl!r}")
     if topk_impl not in ("exact", "approx"):
@@ -585,8 +591,10 @@ def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl,
                 and merge_impl in ("auto", "matched"))
     if merge_impl == "matched" and not use_fast:
         raise ValueError("matched merge requires algorithm='prefix'")
+    if lm_bias is not None and not use_fast:
+        raise ValueError("lm_bias requires the matched-merge prefix path")
     if use_fast:
-        return _make_frame_step_fast(B, W, V, blank_id, topk_impl)
+        return _make_frame_step_fast(B, W, V, blank_id, topk_impl, lm_bias)
     if topk_impl != "exact":
         raise ValueError("approx top-k requires the matched-merge path")
     return _make_frame_step(B, W, V, blank_id, algorithm, log_domain)

@@ -33,19 +33,42 @@ def make_optimizer(learning_rate: float = 3e-4,
 
 
 def make_train_step(config: Config,
-                    optimizer: optax.GradientTransformation):
-    """Returns train_step(params, opt_state, batch) -> (params, opt_state,
-    metrics). Pure; jit/pjit it with shardings of your choice."""
+                    optimizer: optax.GradientTransformation,
+                    remat: bool = False,
+                    compute_dtype=None,
+                    augment: bool = False):
+    """Returns train_step(params, opt_state, batch[, key]) ->
+    (params, opt_state, metrics). Pure; jit/pjit with any shardings.
 
-    def loss_fn(params, batch):
-        lp = model_apply(config, params, batch["inputs"])      # [T, B, V+1]
+    remat: jax.checkpoint the model forward — trades recompute for
+    activation memory (the HBM lever SURVEY.md §0 calls for; the full
+    hidden history of a 2048-wide RNN at B=256 T=200 is ~0.4 GB/layer).
+    compute_dtype: e.g. jnp.bfloat16 — mixed-precision policy (params
+    and loss stay f32; model matmuls run at the reduced dtype).
+    augment: apply SpecAugment to the input features (requires `key`).
+    """
+
+    def forward(params, inputs):
+        kw = {}
+        if compute_dtype is not None and config.model == "deepspeech":
+            kw["compute_dtype"] = compute_dtype
+        return model_apply(config, params, inputs, **kw)
+
+    fwd = jax.checkpoint(forward) if remat else forward
+
+    def loss_fn(params, batch, key=None):
+        inputs = batch["inputs"]
+        if augment:
+            from gasr_tpu.data.augment import spec_augment
+            inputs = spec_augment(key, inputs)
+        lp = fwd(params, inputs)                               # [T, B, V+1]
         losses = ctc_loss(lp, batch["labels"], batch["input_lengths"],
                           batch["label_lengths"], blank_id=config.blank_id)
         norm = jnp.maximum(batch["label_lengths"].astype(jnp.float32), 1.0)
         return (losses / norm).mean()
 
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def train_step(params, opt_state, batch, key=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
