@@ -42,6 +42,25 @@ def save_params(path: str, params: Any) -> None:
     np.savez(path, **flat)
 
 
+# ---------------- orbax backend (multi-host-capable) ----------------
+
+def save_params_orbax(path: str, params: Any) -> None:
+    """Orbax save — the multi-host path (each host writes its shards;
+    use for sharded params on a pod slice). npz remains the lightweight
+    single-host default."""
+    import orbax.checkpoint as ocp
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        return ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.StandardRestore(like))
+
+
 def load_params(path: str, like: Any) -> Any:
     """Load into the structure of `like` (names must match)."""
     with np.load(path) as data:

@@ -102,3 +102,29 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 100 and out.shape[2] == 47
     g.dryrun_multichip(8)
+
+
+def test_dp_scaling_harness():
+    """The scaling harness runs on the virtual mesh and reports
+    efficiency (CI validates mechanics, not hardware numbers)."""
+    from gasr_tpu.parallel.scaling import measure_dp_scaling
+    cfg = Config(batch_size=2, input_size=6, n_context=0, linear_size=16,
+                 rnn_hidden_size=16, vocab_size=5, seg_len=10, beam_width=4)
+    rows = measure_dp_scaling(cfg, [1, 2, 4], iters=1)
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r["audio_s_per_s"] > 0 and r["efficiency"] > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    from gasr_tpu.runtime.checkpoint import (
+        load_params_orbax, save_params_orbax)
+    cfg = Config(batch_size=2, input_size=4, n_context=0, linear_size=8,
+                 rnn_hidden_size=8, vocab_size=3, seg_len=5)
+    params = model_init(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_params_orbax(path, params)
+    restored = load_params_orbax(path, params)
+    d = jax.tree.map(lambda a, b: float(abs(a - b).max()), params, restored)
+    assert max(jax.tree.leaves(d)) == 0.0
