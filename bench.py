@@ -54,7 +54,8 @@ def measure_ours(cfg, iters: int, decode: bool = True):
 
     params = model_init(cfg, jax.random.PRNGKey(0))
 
-    fwd = jax.jit(lambda p, x: model_apply(cfg, p, x))
+    fwd = jax.jit(lambda p, x: model_apply(cfg, p, x,
+                                           rnn_impl=cfg.rnn_impl))
 
     def dec(lp):
         return ctc_beam_search(lp, beam_width=cfg.beam_width,

@@ -39,6 +39,7 @@ class Config:
     decoder: str = "prefix"       # prefix (standard/log-space) | reference (blank-annotated) | greedy
     log_space: bool = True        # prefix decoder always log-space; reference decoder optionally
     num_blocks: Optional[int] = None  # conformer depth override (None=preset)
+    rnn_impl: str = "scan"        # scan | pallas (VMEM-resident recurrence)
     # mesh: axis name -> size; empty = single device
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     seed: int = 0

@@ -42,7 +42,8 @@ class Pipeline:
                                 else jax.random.PRNGKey(config.seed))
         self.params = params
         self._fwd = jax.jit(
-            lambda p, x: model_apply(config, p, x))
+            lambda p, x: model_apply(config, p, x,
+                                     rnn_impl=config.rnn_impl))
 
     def log_probs(self, features: jax.Array) -> jax.Array:
         from gasr_tpu.runtime.validation import check_features

@@ -26,8 +26,9 @@ def bilstm_init(key: jax.Array, config: Config, dtype=jnp.float32) -> dict:
     }
 
 
-def bilstm_apply(params: dict, x: jax.Array, **_) -> jax.Array:
+def bilstm_apply(params: dict, x: jax.Array, rnn_impl: str = "scan",
+                 **_) -> jax.Array:
     x = jnp.transpose(x, (1, 0, 2))                  # [T, B, F]
-    h = lstm_forward(params["lstm"], x)
+    h = lstm_forward(params["lstm"], x, impl=rnn_impl)
     logits = linear(params["proj"], h, activation=None)
     return jax.nn.log_softmax(logits, axis=-1)

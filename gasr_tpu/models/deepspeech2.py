@@ -46,7 +46,8 @@ def ds2_init(key: jax.Array, config: Config, dtype=jnp.float32) -> dict:
     }
 
 
-def ds2_apply(params: dict, x: jax.Array, **_) -> jax.Array:
+def ds2_apply(params: dict, x: jax.Array, rnn_impl: str = "scan",
+              **_) -> jax.Array:
     """x: [B, T, F] -> log-probs [T', B, vocab+1]."""
     B, T, F = x.shape
     h = x[:, :, :, None]                               # NHWC: [B, T, F, 1]
@@ -55,6 +56,6 @@ def ds2_apply(params: dict, x: jax.Array, **_) -> jax.Array:
     Bt, Tp, Fp, C = h.shape
     h = h.reshape(B, Tp, Fp * C)
     h = jnp.transpose(h, (1, 0, 2))                    # [T', B, F''*C]
-    h = lstm_forward(params["lstm"], h)
+    h = lstm_forward(params["lstm"], h, impl=rnn_impl)
     logits = linear(params["proj"], h, activation=None)
     return jax.nn.log_softmax(logits, axis=-1)

@@ -51,6 +51,36 @@ def lstm_init(key: jax.Array, input_size: int, hidden_size: int,
     return params
 
 
+def _scan_bidir_fused(cell_f: dict, cell_b: dict, x: jax.Array,
+                      h0: jax.Array, c0: jax.Array) -> jax.Array:
+    """Both directions in ONE scan: they are independent, so each step
+    runs a direction-batched [2, B, H] x [2, H, 4H] matmul instead of
+    two serial scans — ~2x lower recurrence latency (dominant at small
+    batch where each step is latency-bound). Numerically identical to
+    the two-scan formulation. x: [T, B, in] -> [T, B, 2H]."""
+    T, B, _ = x.shape
+    H = cell_f["w_hh"].shape[0]
+    xw_f = (jnp.dot(x, cell_f["w_ih"], preferred_element_type=jnp.float32)
+            + cell_f["b_ih"] + cell_f["b_hh"])
+    xw_b = (jnp.dot(x, cell_b["w_ih"], preferred_element_type=jnp.float32)
+            + cell_b["b_ih"] + cell_b["b_hh"])[::-1]
+    xw = jnp.stack([xw_f, xw_b], axis=1)           # [T, 2, B, 4H]
+    w_hh = jnp.stack([cell_f["w_hh"], cell_b["w_hh"]])  # [2, H, 4H]
+
+    def step(carry, xw_t):
+        h, c = carry                               # [2, B, H] each
+        pre = xw_t + jnp.einsum("dbh,dhk->dbk", h, w_hh,
+                                preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(pre, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    hc0 = jnp.stack([h0, h0]), jnp.stack([c0, c0])
+    _, hs = lax.scan(step, hc0, xw)                # [T, 2, B, H]
+    return jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)
+
+
 def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
                         c0: jax.Array, reverse: bool) -> jax.Array:
     H = cell["w_hh"].shape[0]
@@ -96,10 +126,12 @@ def lstm_forward(params: dict, x: jax.Array,
             c0 = jnp.zeros((B, H), x.dtype)
         else:
             h0, c0 = state0
-        fwd = run(cell, out, h0, c0, reverse=False)
-        if layers_rev is not None:
+        if layers_rev is not None and impl == "scan":
+            out = _scan_bidir_fused(cell, layers_rev[l], out, h0, c0)
+        elif layers_rev is not None:
+            fwd = run(cell, out, h0, c0, reverse=False)
             bwd = run(layers_rev[l], out, h0, c0, reverse=True)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            out = fwd
+            out = run(cell, out, h0, c0, reverse=False)
     return out

@@ -76,6 +76,26 @@ def rnn_init(key: jax.Array, input_size: int, hidden_size: int,
     return params
 
 
+def _scan_bidir_fused(cell_f: dict, cell_b: dict, x: jax.Array,
+                      h0: jax.Array) -> jax.Array:
+    """Both directions in one scan (direction-batched recurrence matmul;
+    see ops/lstm.py._scan_bidir_fused). x: [T, B, in] -> [T, B, 2H]."""
+    xw_f = (jnp.dot(x, cell_f["w_ih"], preferred_element_type=jnp.float32)
+            + cell_f["b_ih"] + cell_f["b_hh"])
+    xw_b = (jnp.dot(x, cell_b["w_ih"], preferred_element_type=jnp.float32)
+            + cell_b["b_ih"] + cell_b["b_hh"])[::-1]
+    xw = jnp.stack([xw_f, xw_b], axis=1)           # [T, 2, B, H]
+    w_hh = jnp.stack([cell_f["w_hh"], cell_b["w_hh"]])
+
+    def step(h, xw_t):
+        h = jnp.tanh(xw_t + jnp.einsum(
+            "dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32))
+        return h, h
+
+    _, hs = lax.scan(step, jnp.stack([h0, h0]), xw)
+    return jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)
+
+
 def _scan_one_direction(cell: dict, x: jax.Array, h0: jax.Array,
                         reverse: bool, return_final: bool = False):
     """Scan one layer/direction. x: [T, B, in] -> [T, B, H].
@@ -119,20 +139,18 @@ def rnn_forward(params: dict, x: jax.Array, h0: Optional[jax.Array] = None,
     out = x
     for l, cell in enumerate(layers):
         h_init = (jnp.zeros((B, H), x.dtype) if h0 is None else h0)
-        if impl == "pallas":
-            fwd = rnn_scan_pallas(cell, out, h_init)
-        else:
-            fwd = _scan_one_direction(cell, out, h_init, reverse=False)
         if layers_rev is not None:
             if impl == "pallas":
+                fwd = rnn_scan_pallas(cell, out, h_init)
                 bwd = rnn_scan_pallas(layers_rev[l], out, h_init,
                                       reverse=True)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
             else:
-                bwd = _scan_one_direction(layers_rev[l], out, h_init,
-                                          reverse=True)
-            out = jnp.concatenate([fwd, bwd], axis=-1)
+                out = _scan_bidir_fused(cell, layers_rev[l], out, h_init)
+        elif impl == "pallas":
+            out = rnn_scan_pallas(cell, out, h_init)
         else:
-            out = fwd
+            out = _scan_one_direction(cell, out, h_init, reverse=False)
     return out
 
 

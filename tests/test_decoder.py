@@ -276,3 +276,25 @@ def test_streaming_timesteps_absolute():
     # 'a' first created frame 0; 'ab' pruned at frame 3 (W=2), recreated
     # frame 4 — absolute timestep crosses the chunk boundary correctly
     assert np.asarray(snap.timesteps)[0, 0, :2].tolist() == [0, 4]
+
+
+@pytest.mark.parametrize("algorithm", ["prefix", "reference"])
+@pytest.mark.parametrize("T,V,W", [(1, 4, 2), (2, 2, 1), (1, 2, 4),
+                                   (3, 2, 2), (5, 3, 1)])
+def test_edge_shapes_vs_oracle(algorithm, T, V, W):
+    """Degenerate shapes: single frame (reference T==1 skips the strip),
+    binary vocab, beam of one, beam wider than candidates."""
+    rng = np.random.default_rng(T * 100 + V * 10 + W)
+    lp = rand_logprobs(rng, T, 2, V)
+    res = ctc_beam_search(jnp.asarray(lp), beam_width=W, blank_id=0,
+                          max_len=8, algorithm=algorithm)
+    outs = decode_to_lists(res)
+    for b in range(2):
+        if algorithm == "reference":
+            want_ids, want_score = reference_beam_search_np(
+                lp[:, b], W, 0, log_space=True)
+        else:
+            want_ids, want_score = prefix_beam_search_np(lp[:, b], W, 0)
+        ids, score = outs[b]
+        assert ids == want_ids, (T, V, W, b, ids, want_ids)
+        np.testing.assert_allclose(score, want_score, rtol=1e-3)
