@@ -75,46 +75,40 @@ def _cumsum_chunked(x: jax.Array) -> jax.Array:
     return (within + carry[:, :, None]).reshape(B, N)
 
 
-def _bitonic_sort_desc(hi, lo, idx):
+def _bitonic_sort_desc(key, idx):
     """Bitonic sort of the last dim (= _SORT_N, power of two) descending
-    by key (hi, lo) with ascending index tie-break. Payloads are f32
-    arrays holding exact small ints. Partner exchange via reshape+concat
-    lane swaps (no sort/gather primitives)."""
-    n = hi.shape[-1]
-    lanes = lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim - 1)
+    by int32 `key` with ascending int32 `idx` tie-break.
+
+    Lane-dim partner exchange (partner[i] = x[i XOR d]) uses same-shape
+    2D take_along_axis — the one gather form Mosaic DOES lower
+    (tpu.dynamic_gather). Comparisons are signed int32; callers encode
+    unsigned order by XORing the sign bit beforehand."""
+    n = key.shape[-1]
+    lanes = lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
     log_n = int(np.log2(n))
 
-    def swap_partner(x, d):
-        # partner[i] = x[i ^ d] via two static shifts + lane select
-        # (reshape-axis swaps fail to lower in Mosaic; slices+concat do)
-        zeros = jnp.zeros_like(x[:, :d])
-        left = jnp.concatenate([x[:, d:], zeros], axis=1)    # x[i + d]
-        right = jnp.concatenate([zeros, x[:, :-d]], axis=1)  # x[i - d]
-        low = (lanes & d) == 0
-        return jnp.where(low, left, right)
-
     for kk in range(1, log_n + 1):
-        # direction per lane: 0 => keep larger at the lower lane
-        # (descending run), alternating by block of size 2^(kk)
+        # block direction alternates with bit kk of the lane index;
+        # top block descending => overall descending sort
         asc = ((lanes >> kk) & 1) == 1
         for j in range(kk - 1, -1, -1):
             d = 1 << j
-            p_hi = swap_partner(hi, d)
-            p_lo = swap_partner(lo, d)
-            p_idx = swap_partner(idx, d)
+            partner = lanes ^ d
+            p_key = jnp.take_along_axis(key, partner, axis=1)
+            p_idx = jnp.take_along_axis(idx, partner, axis=1)
             is_lower = (lanes & d) == 0
-            # "a" = this lane, "b" = partner; compute a > b by composite
-            gt = ((hi > p_hi) | ((hi == p_hi) & (lo > p_lo))
-                  | ((hi == p_hi) & (lo == p_lo) & (idx < p_idx)))
-            # descending block: lower lane keeps the larger
-            keep_self = jnp.where(asc, gt != is_lower, gt == is_lower)
-            hi = jnp.where(keep_self, hi, p_hi)
-            lo = jnp.where(keep_self, lo, p_lo)
+            gt = (key > p_key) | ((key == p_key) & (idx < p_idx))
+            # boolean algebra, not where-on-bools (select_n with bool
+            # branches fails to compile in Mosaic):
+            # asc: keep iff gt XOR is_lower; desc: the complement
+            keep_self = (gt ^ is_lower) == asc
+            key = jnp.where(keep_self, key, p_key)
             idx = jnp.where(keep_self, idx, p_idx)
-    return hi, lo, idx
+    return key, idx
 
 
-def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
+def _topk_kernel(x_ref, vals_ref, idx_ref, pos_scr, hi_scr, lo_scr,
+                 idx_scr, *, k: int, n_valid: int):
     x = x_ref[:]                                      # [Bt, N] f32 (padded)
     Bt, N = x.shape
     lanes = lax.broadcasted_iota(jnp.int32, (Bt, N), 1)
@@ -137,48 +131,58 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, n_valid: int):
     eq_rank = eq_cum - mask_eq.astype(jnp.float32)     # exclusive
     sel = mask_gt | (mask_eq & (eq_rank < quota.astype(jnp.float32)))
 
-    # ---- compaction into _SORT_N slots (positions by index order)
+    # ---- compaction into _SORT_N slots via one-hot reductions, chunked
+    # with a fori_loop over VMEM scratch (pl.ds reads) so the chunk body
+    # appears ONCE in the program — the 37x-unrolled version SIGABRTs
+    # the Mosaic compiler, and large cross-tile gathers don't lower.
     sel_f = sel.astype(jnp.float32)
-    pos = _cumsum_chunked(sel_f) - sel_f               # exclusive, [Bt, N]
-    # uint32->f32 converts don't lower; bitcast to int32 (values < 2^16,
-    # sign-safe) then int->float convert (which does lower)
-    u_hi = lax.bitcast_convert_type(u >> 16, jnp.int32).astype(jnp.float32)
-    u_lo = lax.bitcast_convert_type(
+    pos = _cumsum_chunked(sel_f) - sel_f               # exclusive
+    # unselected lanes get an out-of-range position so the one-hot
+    # compare drops them without a separate mask operand
+    pos_scr[:] = jnp.where(sel, pos, jnp.float32(2.0 * N))
+    # payloads (f32-exact 16-bit halves of u, plus source index)
+    hi_scr[:] = lax.bitcast_convert_type(
+        u >> 16, jnp.int32).astype(jnp.float32)
+    lo_scr[:] = lax.bitcast_convert_type(
         u & jnp.uint32(0xFFFF), jnp.int32).astype(jnp.float32)
-    idx_f = lanes.astype(jnp.float32)
-    payload = jnp.stack([u_hi, u_lo, idx_f], axis=-1)  # [Bt, N, 3]
+    idx_scr[:] = lanes.astype(jnp.float32)
 
-    C = N // _CHUNK
     slots = lax.broadcasted_iota(
-        jnp.int32, (Bt, _CHUNK, _SORT_N), 2).astype(jnp.float32)
-    acc = jnp.zeros((Bt, _SORT_N, 3), jnp.float32)
-    for c in range(C):
-        s = c * _CHUNK
-        pos_c = pos[:, s:s + _CHUNK]
-        sel_c = sel_f[:, s:s + _CHUNK]
-        oh = ((pos_c[:, :, None] == slots) *
-              sel_c[:, :, None])                       # [Bt, CHUNK, SORT]
-        acc = acc + jax.lax.dot_general(
-            oh, payload[:, s:s + _CHUNK, :],
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # [Bt, SORT, 3]
+        jnp.int32, (1, _CHUNK, _SORT_N), 2).astype(jnp.float32)
+    C = N // _CHUNK
 
-    hi = acc[:, :, 0]
-    lo = acc[:, :, 1]
-    idx = acc[:, :, 2].astype(jnp.int32)
-    # empty slots (pos >= k) have payload 0 => u=0 => sort to the end
-    hi, lo, idx = _bitonic_sort_desc(hi, lo, idx)
+    def body(j, carry):
+        hi_a, lo_a, idx_a = carry
+        s = pl.multiple_of(j * _CHUNK, _CHUNK)
+        pos_c = jnp.expand_dims(pos_scr[:, pl.ds(s, _CHUNK)], -1)
+        oh = (pos_c == slots).astype(jnp.float32)      # [Bt, CHUNK, SORT]
 
+        def acc(a, ref):
+            p = jnp.expand_dims(ref[:, pl.ds(s, _CHUNK)], -1)
+            return a + jnp.sum(oh * p, axis=1)
+        return (acc(hi_a, hi_scr), acc(lo_a, lo_scr), acc(idx_a, idx_scr))
+
+    zero = jnp.zeros((Bt, _SORT_N), jnp.float32)
+    hi, lo, idxf = lax.fori_loop(0, C, body, (zero, zero, zero))
+
+    # empty slots (>= k) accumulated nothing => u = 0 => sorts last
     hi_u = lax.bitcast_convert_type(hi.astype(jnp.int32), jnp.uint32)
     lo_u = lax.bitcast_convert_type(lo.astype(jnp.int32), jnp.uint32)
-    u_sorted = (hi_u << 16) | lo_u
+    u_c = (hi_u << 16) | lo_u
+    key = lax.bitcast_convert_type(u_c ^ jnp.uint32(0x80000000), jnp.int32)
+
+    # ---- order by value (desc, index tie-break) — bitonic network
+    key, idx_sorted = _bitonic_sort_desc(key, idxf.astype(jnp.int32))
+
+    u_sorted = lax.bitcast_convert_type(key, jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
     vals = _inverse_monotone_bits(u_sorted)
     vals_ref[:] = vals
-    idx_ref[:] = idx
+    idx_ref[:] = idx_sorted
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_b", "interpret"))
-def pallas_topk(x: jax.Array, k: int, block_b: int = 64,
+def pallas_topk(x: jax.Array, k: int, block_b: int = 32,
                 interpret: bool = False):
     """Exact stable top-k: (values [B, k], indices [B, k]) — bit-equal
     to lax.top_k(x, k). Requires k <= 128."""
@@ -210,6 +214,12 @@ def pallas_topk(x: jax.Array, k: int, block_b: int = 64,
             jax.ShapeDtypeStruct((Bp, _SORT_N), jnp.float32),
             jax.ShapeDtypeStruct((Bp, _SORT_N), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, Np), jnp.float32),   # pos
+            pltpu.VMEM((block_b, Np), jnp.float32),   # u_hi
+            pltpu.VMEM((block_b, Np), jnp.float32),   # u_lo
+            pltpu.VMEM((block_b, Np), jnp.float32),   # idx
+        ],
         interpret=interpret,
     )(x)
     return vals[:B, :k], idx[:B, :k]
