@@ -532,8 +532,10 @@ def ctc_beam_search(
     example. tokens contain collapsed symbol ids (never blank), -1 padded.
 
     merge_impl: "auto" (matched-merge for "prefix", sort for
-    "reference"), "matched", or "sort" (the general path, also the
-    cross-check oracle for the matched path).
+    "reference"), "matched", "sort" (the general path, also the
+    cross-check oracle for the matched path), or "pallas" (the fused
+    whole-scan TPU kernel, array-equal to "matched"; prefix/log only,
+    W <= 128, V <= 128).
     """
     if algorithm not in ("prefix", "reference"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -565,20 +567,63 @@ def ctc_beam_search(
                               onehot_blank[None, None, :], log_probs)
 
     init = _init_beam(B, W, log_domain)
-    frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
-                            merge_impl, topk_impl, lm_bias)
+    if _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
+                   lm_bias):
+        final, packed_ys = _pallas_scan(log_probs, init, W, V, blank_id)
+    else:
+        frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
+                                merge_impl, topk_impl, lm_bias)
 
-    is_last_arr = jnp.zeros((T,), jnp.bool_)
-    if algorithm == "reference" and T > 1:
-        # reference strips trailing blanks only on the final frame of the
-        # t=1..T-1 loop (.cu:278-281); T==1 never strips.
-        is_last_arr = is_last_arr.at[T - 1].set(True)
+        is_last_arr = jnp.zeros((T,), jnp.bool_)
+        if algorithm == "reference" and T > 1:
+            # reference strips trailing blanks only on the final frame of
+            # the t=1..T-1 loop (.cu:278-281); T==1 never strips.
+            is_last_arr = is_last_arr.at[T - 1].set(True)
 
-    final, packed_ys = lax.scan(
-        frame_step, init, (log_probs, is_last_arr))
+        final, packed_ys = lax.scan(
+            frame_step, init, (log_probs, is_last_arr))
 
     tokens, timesteps, _ = _traceback(packed_ys, final.length, L)
     return _result(final, tokens, timesteps, L, algorithm, log_domain)
+
+
+def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
+                lm_bias) -> bool:
+    """Whole-scan fused Pallas kernel eligibility (see
+    ops/pallas/fused_decode.py). Explicit opt-in via
+    merge_impl="pallas"; raises if the request can't be honored."""
+    if merge_impl != "pallas":
+        return False
+    if not (algorithm == "prefix" and log_domain):
+        raise ValueError("merge_impl='pallas' requires the log-domain "
+                         "prefix algorithm")
+    if topk_impl != "exact":
+        raise ValueError("merge_impl='pallas' is exact-top-k only")
+    if lm_bias is not None:
+        raise ValueError("merge_impl='pallas' does not support lm_bias "
+                         "yet; use merge_impl='matched'")
+    if W > 128 or V > 128:
+        raise ValueError("merge_impl='pallas' requires W <= 128 and "
+                         "V <= 128")
+    return True
+
+
+def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
+                 blank_id: int):
+    """Fused-kernel replacement for the matched-merge lax.scan; returns
+    (final _BeamState, packed_ys) array-equal to the XLA path."""
+    from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
+                                                  pack_state)
+    B = init.s1.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    out = fused_prefix_decode(log_probs, pack_state(init), W=W, V=V,
+                              blank_id=blank_id, interpret=interpret)
+    final = _BeamState(
+        h1=out.h1, h2=out.h2, hp1=out.hp1, hp2=out.hp2,
+        last=out.last, length=out.length,
+        tb=jnp.zeros((B, W), jnp.int32),
+        live=out.live, s1=out.s1, s2=out.s2)
+    return final, out.ys
 
 
 def _pick_step(B, W, V, blank_id, algorithm, log_domain, merge_impl,
@@ -635,14 +680,19 @@ def streaming_step(
     W = state.beam.s1.shape[1]
     L = state.tokens.shape[2]
 
-    frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
-                            merge_impl)
-    is_last_arr = jnp.zeros((Tc,), jnp.bool_)
-    if algorithm == "reference" and is_final:
-        is_last_arr = is_last_arr.at[Tc - 1].set(True)
+    if _use_pallas(merge_impl, algorithm, log_domain, W, V, "exact",
+                   None):
+        final, packed_ys = _pallas_scan(chunk_log_probs, state.beam,
+                                        W, V, blank_id)
+    else:
+        frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
+                                merge_impl)
+        is_last_arr = jnp.zeros((Tc,), jnp.bool_)
+        if algorithm == "reference" and is_final:
+            is_last_arr = is_last_arr.at[Tc - 1].set(True)
 
-    final, packed_ys = lax.scan(
-        frame_step, state.beam, (chunk_log_probs, is_last_arr))
+        final, packed_ys = lax.scan(
+            frame_step, state.beam, (chunk_log_probs, is_last_arr))
 
     tokens, timesteps, _ = _traceback(
         packed_ys, final.length, L, base_tokens=state.tokens,

@@ -1,0 +1,408 @@
+"""Fused Pallas CTC beam-search frame kernel — the whole decode loop on-chip.
+
+The XLA matched-merge decoder (decoder/beam_search.py::_make_frame_step_fast)
+bottoms out at ~2.0 ms/frame on the flagship shape (B=256, W=100, V=47):
+bisection shows a fixed ~270 us/step `lax.scan` floor (carry traffic +
+fusion boundaries) plus non-fusable top_k / gather / einsum ops. This
+kernel runs the ENTIRE per-frame transition — candidate grid, exact
+top-W selection, parent-state gathers, beam-state update — inside one
+Pallas program with the beam state resident in VMEM scratch across all
+T frames (grid = (nB, T), t minor, TPU grid iterations sequential).
+
+Semantics: bit-identical to merge_impl="matched" (algorithm="prefix",
+log domain). The proof obligations and how each is met:
+
+  * same candidate VALUES: every score formula is copied expression-for-
+    expression from _make_frame_step_fast (same _logaddexp, same masks).
+  * same top-W SET including ties: exact k-th-threshold via 32-step bit
+    bisection on monotone float bits (ops/pallas/topk.py machinery) with
+    quota-based tie admission in candidate-index order — exactly
+    lax.top_k's stable tie-break. Grid pads (beam slots >= W, vocab
+    lanes >= V) get a key STRICTLY below the XLA DEAD key, so they can
+    never displace or reorder a real candidate (there are always
+    W*V >= W real entries).
+  * same slot ORDER: a 128-lane bitonic sort re-orders the selected
+    slots by (score desc, candidate index asc) — lax.top_k's output
+    order — so backpointers, dead-slot contents, and downstream
+    traceback match the XLA path array-for-array.
+
+Mosaic has no sort/top_k/cumsum/scatter (CLAUDE.md probe notes), so:
+  * selection threshold: bit bisection (compare+count), as in topk.py;
+  * ranks/offsets: lower-triangular-matmul cumsum (MXU);
+  * the winner-index compaction avoids topk.py's dominant one-hot
+    chunk loop entirely: with C = N/128 = 128 chunks, the slot->flat-
+    index inverse is a two-level lookup — per-chunk offset search
+    (compare+count over [Bt,128,128]) followed by ONE same-shape axis-0
+    dynamic_gather of chunk rows ([Bt*128, 128], the one gather Mosaic
+    lowers) and a one-hot lane select;
+  * parent-state gathers: beam state lives in [Bt, 128] lanes, so every
+    gather is a same-shape axis-1 dynamic_gather (supported).
+
+Reference behavior twin: CTCBeamSearch.cu decode loop (.cu:519-595)
+re-designed as a single resident-state TPU program; see SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gasr_tpu.ops.pallas.topk import (_bitonic_sort_desc, _monotone_bits)
+
+NEG_INF = -1.0e30            # must match beam_search.NEG_INF
+DEAD = -3.0e38               # must match beam_search.DEAD_KEY_LOG
+PAD = -3.38e38               # strictly below DEAD: grid padding only
+M1 = np.int32(1000003)       # hash multipliers (bit-equal to uint32 ops)
+M2 = np.int32(16777619)
+
+S = 128                      # beam slot lanes (W <= S)
+VP = 128                     # padded vocab lanes (V <= VP)
+N = S * VP                   # flattened candidate grid
+C = N // 128                 # 128-lane chunks (== S, load-bearing: the
+                             # axis-0 row gather needs Bt*C == Bt*S)
+
+# packed beam-state field indices (all int32; floats bitcast)
+F_H1, F_H2, F_HP1, F_HP2, F_LAST, F_LEN, F_LIVE, F_S1, F_S2 = range(9)
+NF = 9
+
+
+class FusedDecodeOut(NamedTuple):
+    ys: jax.Array       # [T, B, W] packed backpointers (beam_search._pack_ys)
+    h1: jax.Array       # [B, W] uint32
+    h2: jax.Array
+    hp1: jax.Array
+    hp2: jax.Array
+    last: jax.Array     # [B, W] int32
+    length: jax.Array   # [B, W] int32
+    live: jax.Array     # [B, W] bool
+    s1: jax.Array       # [B, W] f32
+    s2: jax.Array
+
+
+def _logaddexp(a, b):
+    # expression-identical to beam_search._logaddexp (bit parity)
+    m = jnp.maximum(a, b)
+    lo = jnp.minimum(a, b)
+    return m + jnp.log1p(jnp.exp(jnp.maximum(lo - m, -80.0)) *
+                         (lo - m > -80.0))
+
+
+def _f2i(x):
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _take1(x, idx):
+    """Same-shape axis-1 dynamic_gather: out[b, k] = x[b, idx[b, k]]."""
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
+            blank_id: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st[...] = init_ref[...]
+
+    f = f_ref[0]                                   # [Bt, VP] f32
+    Bt = f.shape[0]
+
+    h1 = st[F_H1]
+    h2 = st[F_H2]
+    hp1 = st[F_HP1]
+    hp2 = st[F_HP2]
+    last = st[F_LAST]
+    length = st[F_LEN]
+    liveb = st[F_LIVE] > 0
+    pb = _i2f(st[F_S1])
+    pnb = _i2f(st[F_S2])
+
+    lane = lax.broadcasted_iota(jnp.int32, (Bt, S), 1)
+
+    total = _logaddexp(pb, pnb)
+    last_clip = jnp.clip(last, 0, V - 1)
+    f_last = _take1(f, last_clip)
+
+    # ---- parent match eq[b, w, w']: candidate parent w extends into the
+    # prefix held by stay slot w' (hash + length-offset identity)
+    h1c = jnp.expand_dims(h1, 2)
+    h2c = jnp.expand_dims(h2, 2)
+    lnc = jnp.expand_dims(length, 2)
+    lvc = jnp.expand_dims(liveb, 2)
+    eq = ((h1c == jnp.expand_dims(hp1, 1)) &
+          (h2c == jnp.expand_dims(hp2, 1)) &
+          (lnc == jnp.expand_dims(length, 1) - 1) &
+          lvc & jnp.expand_dims(liveb, 1))          # [Bt, S, S]
+    eqi = eq.astype(jnp.int32)
+    has_match = jnp.max(eqi, axis=1) > 0            # [Bt, S]
+    w_rev = (S - 1) - lax.broadcasted_iota(jnp.int32, (Bt, S, S), 1)
+    match = (S - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
+    match = jnp.where(has_match, match, 0)
+
+    pb_m = _take1(pb, match)
+    pnb_m = _take1(pnb, match)
+    last_m = _take1(last, match)
+
+    # ---- stay candidates (blank column of the grid)
+    vlane = lax.broadcasted_iota(jnp.int32, (Bt, VP), 1)
+    f_blank = jnp.sum(jnp.where(vlane == blank_id, f, 0.0), axis=1,
+                      keepdims=True)                # [Bt, 1]
+    stay_pb = total + f_blank
+    stay_pnb = jnp.where(length > 0, pnb + f_last, NEG_INF)
+    ext_base_m = jnp.where(last_m == last, pb_m, _logaddexp(pb_m, pnb_m))
+    ext_contrib = jnp.where(has_match, ext_base_m + f_last, NEG_INF)
+    stay_pnb = _logaddexp(stay_pnb, ext_contrib)
+    stay_score = jnp.where(liveb, _logaddexp(stay_pb, stay_pnb), DEAD)
+
+    # ---- extend grid [Bt, S, VP]
+    v3 = lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)
+    w3 = lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 1)
+    is_rep = v3 == jnp.expand_dims(last, 2)
+    ext_pnb3 = jnp.where(is_rep, jnp.expand_dims(pb, 2),
+                         jnp.expand_dims(total, 2)) + jnp.expand_dims(f, 1)
+
+    # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
+    # last_k == v (batched one-hot contraction over k on the MXU)
+    a_m = ((jnp.expand_dims(match, 2) ==
+            lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)) &
+           jnp.expand_dims(has_match, 2)).astype(jnp.float32)
+    a_v = ((jnp.expand_dims(last_clip, 2) ==
+            lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)) &
+           jnp.expand_dims(has_match, 2)).astype(jnp.float32)
+    excl = lax.dot_general(a_m, a_v, (((1,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32) > 0.5
+
+    valid_ext = (v3 != blank_id) & jnp.expand_dims(liveb, 2) & (~excl)
+    cand3 = jnp.where(valid_ext, ext_pnb3, DEAD)
+    cand3 = jnp.where(v3 == blank_id, jnp.expand_dims(stay_score, 2), cand3)
+    # grid pads rank strictly below every XLA candidate
+    cand3 = jnp.where((v3 < V) & (w3 < W), cand3, PAD)
+    cand = cand3.reshape(Bt, N)
+
+    # ---- exact top-W threshold: 32-step bit bisection (topk.py scheme)
+    u = _monotone_bits(cand)
+    th = jnp.zeros((Bt, 1), jnp.uint32)
+    for bit in range(31, -1, -1):
+        trial = th | (jnp.uint32(1) << bit)
+        cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        th = jnp.where(cnt >= W, trial, th)
+    mask_gt = u > th
+    mask_eq = u == th
+    count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1, keepdims=True)
+    quota = (W - count_gt).astype(jnp.float32)
+
+    # ---- per-chunk cumsums (C chunks of 128 lanes) via LT matmuls
+    lt = (lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
+          lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+          ).astype(jnp.float32)
+    slt = (lax.broadcasted_iota(jnp.int32, (C, C), 0) <
+           lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(jnp.float32)
+
+    def two_level_rank(mask_f):
+        """Global exclusive rank + per-chunk bits of a [Bt, N] 0/1 mask."""
+        m3 = mask_f.reshape(Bt, C, 128)
+        within = lax.dot_general(m3, lt, (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cnt_c = within[:, :, 127:128][:, :, 0]          # [Bt, C]
+        off_c = lax.dot_general(cnt_c, slt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        excl_rank = (within - m3 +
+                     jnp.expand_dims(off_c, 2)).reshape(Bt, N)
+        return excl_rank, within - m3, cnt_c, off_c
+
+    eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
+    sel = mask_gt | (mask_eq & (eq_rank < quota))
+    sel_f = sel.astype(jnp.float32)
+    _, lpos3, cnt_c, off_c = two_level_rank(sel_f)      # per-chunk local pos
+
+    # ---- slot k -> flat candidate index, two-level inverse
+    # owning chunk: last c with off_c <= k (empty chunks tie-through)
+    k_iota = lane                                       # [Bt, S] slot ids
+    cmp = (jnp.expand_dims(off_c, 2) <=
+           jnp.expand_dims(k_iota.astype(jnp.float32), 1))   # [Bt, C, S]
+    cos = jnp.sum(cmp.astype(jnp.int32), axis=1) - 1    # [Bt, S]
+    off_sel = _take1(off_c, cos)
+    lk = k_iota.astype(jnp.float32) - off_sel           # local rank
+
+    # gather the owning chunk's local-pos row (axis-0 dynamic_gather on
+    # [Bt*C, 128]; index shape == data shape because C == S)
+    lpos_m = jnp.where(sel.reshape(Bt, C, 128), lpos3, jnp.float32(1e6))
+    lpos_flat = lpos_m.reshape(Bt * C, 128)
+    row_base = (lax.broadcasted_iota(jnp.int32, (Bt, S), 0) * C + cos)
+    rowidx = jnp.broadcast_to(row_base.reshape(Bt * S, 1), (Bt * S, 128))
+    z = jnp.take_along_axis(lpos_flat, rowidx, axis=0)  # [Bt*S, 128]
+    hit = z == jnp.broadcast_to(lk.reshape(Bt * S, 1), (Bt * S, 128))
+    lane_r = lax.broadcasted_iota(jnp.int32, (Bt * S, 128), 1)
+    idx_lane = jnp.sum(jnp.where(hit, lane_r, 0), axis=1).reshape(Bt, S)
+    idx_n = cos * 128 + idx_lane                        # [Bt, S]
+
+    # selected score (exact grid value, via the same row gather)
+    zc = jnp.take_along_axis(cand.reshape(Bt * C, 128), rowidx, axis=0)
+    top_val = jnp.sum(jnp.where(hit, zc, 0.0), axis=1).reshape(Bt, S)
+
+    # ---- order slots like lax.top_k: desc score, asc candidate index
+    key = _f2i(_monotone_bits(top_val) ^ jnp.uint32(0x80000000))
+    key = jnp.where(k_iota < W, key, jnp.int32(-2147483647 - 1))
+    key_s, sidx = _bitonic_sort_desc(key, idx_n)
+    w_sel = sidx >> 7                                   # VP == 128
+    v_sel = sidx & 127
+
+    # ---- state update (mirrors _make_frame_step_fast post-top_k block)
+    pb_g = _take1(pb, w_sel)
+    pnb_g = _take1(pnb, w_sel)
+    last_g = _take1(last, w_sel)
+    len_g = _take1(length, w_sel)
+    h1_g = _take1(h1, w_sel)
+    h2_g = _take1(h2, w_sel)
+    hp1_g = _take1(hp1, w_sel)
+    hp2_g = _take1(hp2, w_sel)
+    stay_pb_g = _take1(stay_pb, w_sel)
+    stay_pnb_g = _take1(stay_pnb, w_sel)
+    f_v = _take1(f, v_sel)
+    # sorted top_val recovered from the sorted key (sort carries only
+    # (key, idx); the key IS the monotone-bit image of the score)
+    u_sorted = lax.bitcast_convert_type(key_s, jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    top = lax.bitcast_convert_type(
+        jnp.where(u_sorted >= jnp.uint32(0x80000000),
+                  u_sorted & jnp.uint32(0x7FFFFFFF), ~u_sorted),
+        jnp.float32)
+    new_live = top > DEAD * 0.5
+
+    is_stay = v_sel == blank_id
+    total_g = _logaddexp(pb_g, pnb_g)
+    sel_ext_pnb = jnp.where(v_sel == last_g, pb_g, total_g) + f_v
+    ns1 = jnp.where(new_live & is_stay, stay_pb_g, NEG_INF)
+    ns2 = jnp.where(new_live,
+                    jnp.where(is_stay, stay_pnb_g, sel_ext_pnb),
+                    NEG_INF)
+    vp1 = v_sel + 1
+    nh1 = jnp.where(is_stay, h1_g, h1_g * M1 + vp1)
+    nh2 = jnp.where(is_stay, h2_g, h2_g * M2 + vp1)
+    nhp1 = jnp.where(is_stay, hp1_g, h1_g)
+    nhp2 = jnp.where(is_stay, hp2_g, h2_g)
+    n_last = jnp.where(is_stay, last_g, v_sel)
+    n_len = len_g + jnp.where(is_stay, 0, 1)
+
+    st[F_H1] = nh1
+    st[F_H2] = nh2
+    st[F_HP1] = nhp1
+    st[F_HP2] = nhp2
+    st[F_LAST] = n_last
+    st[F_LEN] = n_len
+    st[F_LIVE] = new_live.astype(jnp.int32)
+    st[F_S1] = _f2i(ns1)
+    st[F_S2] = _f2i(ns2)
+
+    appended = (~is_stay) & new_live
+    ys_ref[0] = (w_sel | (jnp.maximum(n_last, 0) << 15)
+                 | (appended.astype(jnp.int32) << 30))
+    fin_ref[...] = st[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "V", "blank_id", "block_b", "interpret"))
+def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
+                        W: int, V: int, blank_id: int = 0,
+                        block_b: int = 8,
+                        interpret: bool = False) -> FusedDecodeOut:
+    """Run the whole prefix beam-search scan as one Pallas program.
+
+    log_probs: [T, B, V] f32 log-probabilities (V <= 128, W <= 128).
+    init_packed: [NF, B, 128] int32 packed initial beam state (see
+    pack_state). Returns packed backpointers + final state, array-equal
+    to the XLA matched-merge scan.
+    """
+    T, B, V_in = log_probs.shape
+    assert V_in == V and W <= S and V <= VP
+    f = log_probs
+    if V < VP:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, VP - V)))
+    b_pad = (-B) % block_b
+    if b_pad:
+        f = jnp.pad(f, ((0, 0), (0, b_pad), (0, 0)))
+        init_packed = jnp.pad(init_packed,
+                              ((0, 0), (0, b_pad), (0, 0)))
+    Bp = B + b_pad
+
+    grid = (Bp // block_b, T)
+    ys, fin = pl.pallas_call(
+        functools.partial(_kernel, W=W, V=V, blank_id=blank_id),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, VP), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, S), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, S), jnp.int32),
+            jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((NF, block_b, S), jnp.int32)],
+        interpret=interpret,
+    )(f, init_packed)
+
+    ys = ys[:, :B, :W]
+    fin = fin[:, :B, :W]
+    u32 = functools.partial(lax.bitcast_convert_type,
+                            new_dtype=jnp.uint32)
+    f32 = functools.partial(lax.bitcast_convert_type,
+                            new_dtype=jnp.float32)
+    return FusedDecodeOut(
+        ys=ys,
+        h1=u32(fin[F_H1]), h2=u32(fin[F_H2]),
+        hp1=u32(fin[F_HP1]), hp2=u32(fin[F_HP2]),
+        last=fin[F_LAST], length=fin[F_LEN],
+        live=fin[F_LIVE] > 0,
+        s1=f32(fin[F_S1]), s2=f32(fin[F_S2]),
+    )
+
+
+def pack_state(beam) -> jax.Array:
+    """beam_search._BeamState ([B, W] fields) -> [NF, B, 128] int32."""
+    B, W = beam.s1.shape
+    i32 = functools.partial(lax.bitcast_convert_type, new_dtype=jnp.int32)
+    fields = [None] * NF
+    fields[F_H1] = i32(beam.h1)
+    fields[F_H2] = i32(beam.h2)
+    fields[F_HP1] = i32(beam.hp1)
+    fields[F_HP2] = i32(beam.hp2)
+    fields[F_LAST] = beam.last
+    fields[F_LEN] = beam.length
+    fields[F_LIVE] = beam.live.astype(jnp.int32)
+    fields[F_S1] = i32(beam.s1)
+    fields[F_S2] = i32(beam.s2)
+    packed = jnp.stack(fields, axis=0)                  # [NF, B, W]
+    if W < S:
+        # pad slots: dead, never hash-match (h sentinel / unique, hp 0)
+        pad = jnp.zeros((NF, B, S - W), jnp.int32)
+        pad = pad.at[F_H1].set(-1)
+        pad = pad.at[F_H2].set(
+            jnp.arange(W, S, dtype=jnp.int32)[None, :] |
+            np.int32(np.int64(0x7F000000)))
+        pad = pad.at[F_LAST].set(-1)
+        pad = pad.at[F_S1].set(
+            lax.bitcast_convert_type(jnp.float32(NEG_INF), jnp.int32))
+        pad = pad.at[F_S2].set(
+            lax.bitcast_convert_type(jnp.float32(NEG_INF), jnp.int32))
+        packed = jnp.concatenate([packed, pad], axis=2)
+    return packed

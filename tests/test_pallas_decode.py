@@ -1,0 +1,118 @@
+"""Fused Pallas decode kernel vs the XLA matched-merge oracle.
+
+Runs in interpret mode on CPU (conftest). The gate is ARRAY EQUALITY:
+the kernel replicates the matched-merge scan's candidate formulas, its
+exact top-k tie-break (threshold + index-order quota == lax.top_k's
+stable order), and its slot ordering (bitonic by (score desc, index
+asc)) — so tokens, lengths, scores, backpointers, and even dead-slot
+contents must match bit-for-bit."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gasr_tpu.decoder.beam_search import (ctc_beam_search, streaming_init,
+                                          streaming_step)
+
+
+def _logits(rng, T, B, V, quantize=None):
+    x = rng.standard_normal((T, B, V)).astype(np.float32)
+    if quantize is not None:
+        x = np.round(x * quantize) / quantize  # tie-heavy
+    x = jnp.asarray(x)
+    return x - jnp.log(jnp.sum(jnp.exp(x), axis=-1, keepdims=True))
+
+
+def _assert_same(a, b):
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.lengths),
+                                  np.asarray(b.lengths))
+    np.testing.assert_array_equal(np.asarray(a.overflow),
+                                  np.asarray(b.overflow))
+    np.testing.assert_array_equal(np.asarray(a.timesteps),
+                                  np.asarray(b.timesteps))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("W,V,T,B", [
+    (5, 17, 12, 4),
+    (16, 29, 9, 3),
+    (100, 47, 6, 2),     # flagship slot/vocab ratios
+    (128, 12, 7, 2),     # W == full slot width, W >> V (dead-slot heavy)
+])
+def test_pallas_equals_matched(W, V, T, B):
+    rng = np.random.default_rng(hash((W, V, T, B)) % (2**32))
+    lp = _logits(rng, T, B, V)
+    ref = ctc_beam_search(lp, beam_width=W, merge_impl="matched",
+                          max_len=16)
+    got = ctc_beam_search(lp, beam_width=W, merge_impl="pallas",
+                          max_len=16)
+    _assert_same(got, ref)
+
+
+def test_pallas_tie_heavy():
+    # coarsely quantized log-probs force score ties at the beam boundary:
+    # exercises the threshold-quota tie admission against lax.top_k
+    rng = np.random.default_rng(7)
+    lp = _logits(rng, 10, 3, 9, quantize=2)
+    ref = ctc_beam_search(lp, beam_width=8, merge_impl="matched",
+                          max_len=12)
+    got = ctc_beam_search(lp, beam_width=8, merge_impl="pallas",
+                          max_len=12)
+    _assert_same(got, ref)
+
+
+def test_pallas_uniform_ties():
+    # all-equal frames: maximal degeneracy
+    lp = jnp.full((6, 2, 7), -np.log(7.0), jnp.float32)
+    ref = ctc_beam_search(lp, beam_width=6, merge_impl="matched",
+                          max_len=8)
+    got = ctc_beam_search(lp, beam_width=6, merge_impl="pallas",
+                          max_len=8)
+    _assert_same(got, ref)
+
+
+def test_pallas_single_frame_and_batch_pad():
+    # T=1 and B not a multiple of the kernel batch tile
+    rng = np.random.default_rng(3)
+    lp = _logits(rng, 1, 5, 11)
+    ref = ctc_beam_search(lp, beam_width=4, merge_impl="matched")
+    got = ctc_beam_search(lp, beam_width=4, merge_impl="pallas")
+    _assert_same(got, ref)
+
+
+def test_pallas_variable_lengths():
+    rng = np.random.default_rng(11)
+    lp = _logits(rng, 14, 3, 13)
+    lens = jnp.asarray([14, 5, 9], jnp.int32)
+    ref = ctc_beam_search(lp, beam_width=6, merge_impl="matched",
+                          input_lengths=lens, max_len=16)
+    got = ctc_beam_search(lp, beam_width=6, merge_impl="pallas",
+                          input_lengths=lens, max_len=16)
+    _assert_same(got, ref)
+
+
+def test_pallas_streaming_matches_batch():
+    rng = np.random.default_rng(5)
+    T, B, V, W = 12, 2, 9, 5
+    lp = _logits(rng, T, B, V)
+    full = ctc_beam_search(lp, beam_width=W, merge_impl="pallas",
+                           max_len=16)
+    st = streaming_init(B, W, max_len=16)
+    for s in range(0, T, 4):
+        st, res = streaming_step(st, lp[s:s + 4], merge_impl="pallas")
+    _assert_same(res, full)
+
+
+def test_pallas_rejects_unsupported():
+    lp = jnp.zeros((2, 1, 5), jnp.float32)
+    with pytest.raises(ValueError):
+        ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
+                        algorithm="reference")
+    with pytest.raises(ValueError):
+        ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
+                        lm_bias=jnp.zeros((6, 5)))
+    with pytest.raises(ValueError):
+        ctc_beam_search(jnp.zeros((2, 1, 200), jnp.float32),
+                        beam_width=3, merge_impl="pallas")
