@@ -108,7 +108,12 @@ def _take1(x, idx):
 
 
 def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
-            blank_id: int):
+            blank_id: int, debug_stage: int = 99):
+    # debug_stage: bring-up bisection knob — truncate the frame body
+    # after stage N and emit a placeholder so nothing is DCE'd.
+    def _emit(val_i32):
+        ys_ref[0] = val_i32
+        fin_ref[...] = st[...]
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -133,18 +138,20 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     total = _logaddexp(pb, pnb)
     last_clip = jnp.clip(last, 0, V - 1)
     f_last = _take1(f, last_clip)
+    if debug_stage <= -3:
+        return _emit(_f2i(total + f_last))
 
     # ---- parent match eq[b, w, w']: candidate parent w extends into the
-    # prefix held by stay slot w' (hash + length-offset identity)
-    h1c = jnp.expand_dims(h1, 2)
-    h2c = jnp.expand_dims(h2, 2)
-    lnc = jnp.expand_dims(length, 2)
-    lvc = jnp.expand_dims(liveb, 2)
-    eq = ((h1c == jnp.expand_dims(hp1, 1)) &
-          (h2c == jnp.expand_dims(hp2, 1)) &
-          (lnc == jnp.expand_dims(length, 1) - 1) &
-          lvc & jnp.expand_dims(liveb, 1))          # [Bt, S, S]
-    eqi = eq.astype(jnp.int32)
+    # prefix held by stay slot w' (hash + length-offset identity).
+    # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
+    # compiler (probed) — conjunctions here are int32 products.
+    live_i = st[F_LIVE]
+    c1 = (jnp.expand_dims(h1, 2) == jnp.expand_dims(hp1, 1))
+    c2 = (jnp.expand_dims(h2, 2) == jnp.expand_dims(hp2, 1))
+    c3 = (jnp.expand_dims(length, 2) == jnp.expand_dims(length, 1) - 1)
+    eqi = (c1.astype(jnp.int32) * c2.astype(jnp.int32) *
+           c3.astype(jnp.int32) * jnp.expand_dims(live_i, 2) *
+           jnp.expand_dims(live_i, 1))              # [Bt, S, S] 0/1
     has_match = jnp.max(eqi, axis=1) > 0            # [Bt, S]
     w_rev = (S - 1) - lax.broadcasted_iota(jnp.int32, (Bt, S, S), 1)
     match = (S - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
@@ -153,6 +160,8 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     pb_m = _take1(pb, match)
     pnb_m = _take1(pnb, match)
     last_m = _take1(last, match)
+    if debug_stage <= -2:
+        return _emit(match + last_m + _f2i(pb_m + pnb_m))
 
     # ---- stay candidates (blank column of the grid)
     vlane = lax.broadcasted_iota(jnp.int32, (Bt, VP), 1)
@@ -164,6 +173,8 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     ext_contrib = jnp.where(has_match, ext_base_m + f_last, NEG_INF)
     stay_pnb = _logaddexp(stay_pnb, ext_contrib)
     stay_score = jnp.where(liveb, _logaddexp(stay_pb, stay_pnb), DEAD)
+    if debug_stage <= -1:
+        return _emit(_f2i(stay_score))
 
     # ---- extend grid [Bt, S, VP]
     v3 = lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)
@@ -173,22 +184,32 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
                          jnp.expand_dims(total, 2)) + jnp.expand_dims(f, 1)
 
     # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
-    # last_k == v (batched one-hot contraction over k on the MXU)
-    a_m = ((jnp.expand_dims(match, 2) ==
-            lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)) &
-           jnp.expand_dims(has_match, 2)).astype(jnp.float32)
-    a_v = ((jnp.expand_dims(last_clip, 2) ==
-            lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)) &
-           jnp.expand_dims(has_match, 2)).astype(jnp.float32)
-    excl = lax.dot_general(a_m, a_v, (((1,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32) > 0.5
+    # last_k == v (batched one-hot contraction over k on the MXU).
+    # i1 conjunctions via f32 products (see note above).
+    hm_f = jnp.expand_dims(has_match.astype(jnp.float32), 2)
+    a_m = (jnp.expand_dims(match, 2) ==
+           lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)
+           ).astype(jnp.float32) * hm_f
+    a_v = (jnp.expand_dims(last_clip, 2) ==
+           lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)
+           ).astype(jnp.float32) * hm_f
+    excl_i = (lax.dot_general(a_m, a_v, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+              > 0.5).astype(jnp.int32)
+    if debug_stage <= 0:
+        return _emit(jnp.sum(excl_i, axis=2) +
+                     _f2i(jnp.sum(ext_pnb3, axis=2)))
 
-    valid_ext = (v3 != blank_id) & jnp.expand_dims(liveb, 2) & (~excl)
-    cand3 = jnp.where(valid_ext, ext_pnb3, DEAD)
+    valid_ext = ((v3 != blank_id).astype(jnp.int32) *
+                 jnp.expand_dims(live_i, 2) * (1 - excl_i))
+    cand3 = jnp.where(valid_ext > 0, ext_pnb3, DEAD)
     cand3 = jnp.where(v3 == blank_id, jnp.expand_dims(stay_score, 2), cand3)
     # grid pads rank strictly below every XLA candidate
-    cand3 = jnp.where((v3 < V) & (w3 < W), cand3, PAD)
+    in_grid = (v3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
+    cand3 = jnp.where(in_grid > 0, cand3, PAD)
     cand = cand3.reshape(Bt, N)
+    if debug_stage <= 1:
+        return _emit(_f2i(jnp.sum(cand3, axis=2)))
 
     # ---- exact top-W threshold: 32-step bit bisection (topk.py scheme)
     u = _monotone_bits(cand)
@@ -202,6 +223,8 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     mask_eq = u == th
     count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1, keepdims=True)
     quota = (W - count_gt).astype(jnp.float32)
+    if debug_stage <= 2:
+        return _emit(jnp.broadcast_to(count_gt, (Bt, S)))
 
     # ---- per-chunk cumsums (C chunks of 128 lanes) via LT matmuls
     lt = (lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
@@ -226,6 +249,8 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     sel = mask_gt | (mask_eq & (eq_rank < quota))
     sel_f = sel.astype(jnp.float32)
     _, lpos3, cnt_c, off_c = two_level_rank(sel_f)      # per-chunk local pos
+    if debug_stage <= 3:
+        return _emit(_f2i(off_c))
 
     # ---- slot k -> flat candidate index, two-level inverse
     # owning chunk: last c with off_c <= k (empty chunks tie-through)
@@ -236,26 +261,63 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     off_sel = _take1(off_c, cos)
     lk = k_iota.astype(jnp.float32) - off_sel           # local rank
 
-    # gather the owning chunk's local-pos row (axis-0 dynamic_gather on
-    # [Bt*C, 128]; index shape == data shape because C == S)
-    lpos_m = jnp.where(sel.reshape(Bt, C, 128), lpos3, jnp.float32(1e6))
-    lpos_flat = lpos_m.reshape(Bt * C, 128)
-    row_base = (lax.broadcasted_iota(jnp.int32, (Bt, S), 0) * C + cos)
-    rowidx = jnp.broadcast_to(row_base.reshape(Bt * S, 1), (Bt * S, 128))
-    z = jnp.take_along_axis(lpos_flat, rowidx, axis=0)  # [Bt*S, 128]
-    hit = z == jnp.broadcast_to(lk.reshape(Bt * S, 1), (Bt * S, 128))
-    lane_r = lax.broadcasted_iota(jnp.int32, (Bt * S, 128), 1)
-    idx_lane = jnp.sum(jnp.where(hit, lane_r, 0), axis=1).reshape(Bt, S)
-    idx_n = cos * 128 + idx_lane                        # [Bt, S]
+    # fetch the owning chunk's local-pos row per slot with a one-hot
+    # batched matmul on the MXU (axis-0 dynamic_gather at [Bt*C, 128]
+    # aborts the Mosaic compiler — probed). Exact: each output element
+    # is 1.0 * value + zeros.
+    oh_cos = (jnp.expand_dims(cos, 2) ==
+              lax.broadcasted_iota(jnp.int32, (Bt, S, C), 2)
+              ).astype(jnp.float32)                 # [Bt, S(k), C]
+    # mask unselected lanes arithmetically (avoids reshaping an i1 mask)
+    sel3f = sel_f.reshape(Bt, C, 128)
+    lpos_m = lpos3 + (1.0 - sel3f) * jnp.float32(1e6)
 
-    # selected score (exact grid value, via the same row gather)
-    zc = jnp.take_along_axis(cand.reshape(Bt * C, 128), rowidx, axis=0)
-    top_val = jnp.sum(jnp.where(hit, zc, 0.0), axis=1).reshape(Bt, S)
+    def chunk_rows(rows3):
+        return lax.dot_general(oh_cos, rows3, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+    z = chunk_rows(lpos_m)                          # [Bt, S, 128]
+    hit = z == jnp.expand_dims(lk, 2)
+    lane3 = lax.broadcasted_iota(jnp.int32, (Bt, S, 128), 2)
+    idx_lane = jnp.sum(jnp.where(hit, lane3, 0), axis=2)    # [Bt, S]
+    idx_n = cos * 128 + idx_lane                            # [Bt, S]
+
+    # selected score: RECOMPUTED exactly on the VPU from gathered state
+    # (the grid values are ints-free f32; fetching them through a one-hot
+    # MXU matmul rounds them to bf16 under Mosaic's default precision,
+    # which scrambles near-tie sort order — observed on hardware). The
+    # recomputation uses the same expressions as the grid, so it is
+    # bit-equal.
+    w_sel0 = idx_n >> 7                                     # VP == 128
+    v_sel0 = idx_n & 127
+    live_sel = _take1(live_i, w_sel0)
+    exk = ((jnp.expand_dims(match, 1) == jnp.expand_dims(w_sel0, 2)
+            ).astype(jnp.int32) *
+           (jnp.expand_dims(last_clip, 1) == jnp.expand_dims(v_sel0, 2)
+            ).astype(jnp.int32) *
+           jnp.expand_dims(has_match.astype(jnp.int32), 1))
+    excl_sel = jnp.max(exk, axis=2)                         # [Bt, S]
+    pb_s = _take1(pb, w_sel0)
+    pnb_s = _take1(pnb, w_sel0)
+    last_s = _take1(last, w_sel0)
+    total_s = _logaddexp(pb_s, pnb_s)
+    f_vs = _take1(f, v_sel0)
+    extv = jnp.where(v_sel0 == last_s, pb_s, total_s) + f_vs
+    validv = ((v_sel0 != blank_id).astype(jnp.int32) * live_sel
+              * (1 - excl_sel))
+    top_val = jnp.where(validv > 0, extv, DEAD)
+    top_val = jnp.where(v_sel0 == blank_id,
+                        _take1(stay_score, w_sel0), top_val)
+    # pad slots (k >= W) carry garbage idx_n; their key is forced below
+    if debug_stage <= 4:
+        return _emit(idx_n + _f2i(top_val))
 
     # ---- order slots like lax.top_k: desc score, asc candidate index
     key = _f2i(_monotone_bits(top_val) ^ jnp.uint32(0x80000000))
     key = jnp.where(k_iota < W, key, jnp.int32(-2147483647 - 1))
     key_s, sidx = _bitonic_sort_desc(key, idx_n)
+    if debug_stage <= 5:
+        return _emit(sidx + key_s)
     w_sel = sidx >> 7                                   # VP == 128
     v_sel = sidx & 127
 
@@ -313,11 +375,12 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "W", "V", "blank_id", "block_b", "interpret"))
+    "W", "V", "blank_id", "block_b", "interpret", "debug_stage"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
                         block_b: int = 8,
-                        interpret: bool = False) -> FusedDecodeOut:
+                        interpret: bool = False,
+                        debug_stage: int = 99) -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
 
     log_probs: [T, B, V] f32 log-probabilities (V <= 128, W <= 128).
@@ -339,7 +402,8 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
 
     grid = (Bp // block_b, T)
     ys, fin = pl.pallas_call(
-        functools.partial(_kernel, W=W, V=V, blank_id=blank_id),
+        functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
+                          debug_stage=debug_stage),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_b, VP), lambda b, t: (t, b, 0),
