@@ -434,7 +434,7 @@ def _unpack_ys(packed):
 def _traceback(packed_ys, final_lengths, L,
                base_tokens: Optional[jax.Array] = None,
                base_timesteps: Optional[jax.Array] = None,
-               t_offset=0):
+               t_offset=0, impl: str = "scan"):
     """Reconstruct prefixes from per-frame backpointers.
 
     packed_ys: [Tc, B, W] int32 (see _pack_ys); final_lengths: [B, W]
@@ -457,14 +457,23 @@ def _traceback(packed_ys, final_lengths, L,
         return (p, new_pos), (jnp.where(a, c, -1), emit_pos,
                               jnp.where(a, t, -1))
 
-    cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
-    t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)
-    (start_parent, _), (tok_vals, tok_pos, tok_t) = lax.scan(
-        backstep, (cur0, final_lengths), (packed_ys, t_idx), reverse=True)
+    if impl == "pallas":
+        # sequential Pallas grid instead of lax.scan: the ~270 us/step
+        # scan floor dominates the XLA walk at [B, W]-sized steps
+        from gasr_tpu.ops.pallas.fused_decode import traceback_pallas
+        interpret = jax.default_backend() != "tpu"
+        tok_vals, tok_pos, tok_t, start_parent = traceback_pallas(
+            packed_ys, final_lengths, L, interpret=interpret)
+        tok_t = jnp.where(tok_t >= 0, tok_t + t_offset, -1)
+    else:
+        cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
+        t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)
+        (start_parent, _), (tok_vals, tok_pos, tok_t) = lax.scan(
+            backstep, (cur0, final_lengths), (packed_ys, t_idx),
+            reverse=True)
 
-    tok_vals = jnp.moveaxis(tok_vals, 0, -1)      # [B, W, Tc]
-    tok_pos = jnp.moveaxis(tok_pos, 0, -1)
-    tok_t = jnp.moveaxis(tok_t, 0, -1)
+    # the flat scatter is layout-agnostic: index directly in [Tc, B, W]
+    # (transposing three [Tc, B, W] buffers costs more than the scatter)
 
     def gather_base(buf):
         gathered = jnp.take_along_axis(
@@ -482,7 +491,7 @@ def _traceback(packed_ys, final_lengths, L,
 
     # one flat scatter per output buffer, all (b, w) rows at once
     row = (jnp.arange(B * W, dtype=jnp.int32)
-           .reshape(B, W, 1)) * (L + 1)
+           .reshape(1, B, W)) * (L + 1)
     flat_idx = (row + tok_pos).reshape(-1)
 
     def fill(b):
@@ -567,9 +576,11 @@ def ctc_beam_search(
                               onehot_blank[None, None, :], log_probs)
 
     init = _init_beam(B, W, log_domain)
+    tb_impl = "scan"
     if _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                    lm_bias):
         final, packed_ys = _pallas_scan(log_probs, init, W, V, blank_id)
+        tb_impl = "pallas"
     else:
         frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
                                 merge_impl, topk_impl, lm_bias)
@@ -583,7 +594,8 @@ def ctc_beam_search(
         final, packed_ys = lax.scan(
             frame_step, init, (log_probs, is_last_arr))
 
-    tokens, timesteps, _ = _traceback(packed_ys, final.length, L)
+    tokens, timesteps, _ = _traceback(packed_ys, final.length, L,
+                                      impl=tb_impl)
     return _result(final, tokens, timesteps, L, algorithm, log_domain)
 
 
@@ -591,7 +603,18 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                 lm_bias) -> bool:
     """Whole-scan fused Pallas kernel eligibility (see
     ops/pallas/fused_decode.py). Explicit opt-in via
-    merge_impl="pallas"; raises if the request can't be honored."""
+    merge_impl="pallas" (raises if the request can't be honored);
+    "auto" picks it on TPU for large candidate grids, where it beats
+    the XLA matched-merge scan (measured 1.9x at W=100, V=47)."""
+    eligible = (algorithm == "prefix" and log_domain
+                and topk_impl == "exact" and lm_bias is None
+                and W <= 128 and V <= 128)
+    if merge_impl == "auto":
+        # the fused kernel always pays for a 128x128 grid; small W*V
+        # configs stay on the XLA path (cheaper there, and the kernel's
+        # fixed cost dominates). Interpret mode (CPU) is test-only/slow.
+        return (eligible and W * V >= 4000
+                and jax.default_backend() == "tpu")
     if merge_impl != "pallas":
         return False
     if not (algorithm == "prefix" and log_domain):
@@ -680,10 +703,12 @@ def streaming_step(
     W = state.beam.s1.shape[1]
     L = state.tokens.shape[2]
 
+    tb_impl = "scan"
     if _use_pallas(merge_impl, algorithm, log_domain, W, V, "exact",
                    None):
         final, packed_ys = _pallas_scan(chunk_log_probs, state.beam,
                                         W, V, blank_id)
+        tb_impl = "pallas"
     else:
         frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
                                 merge_impl)
@@ -696,7 +721,8 @@ def streaming_step(
 
     tokens, timesteps, _ = _traceback(
         packed_ys, final.length, L, base_tokens=state.tokens,
-        base_timesteps=state.timesteps, t_offset=state.frames)
+        base_timesteps=state.timesteps, t_offset=state.frames,
+        impl=tb_impl)
     new_state = StreamingState(beam=final, tokens=tokens,
                                timesteps=timesteps,
                                frames=state.frames + Tc)

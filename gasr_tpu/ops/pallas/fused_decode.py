@@ -470,3 +470,83 @@ def pack_state(beam) -> jax.Array:
             lax.bitcast_convert_type(jnp.float32(NEG_INF), jnp.int32))
         packed = jnp.concatenate([packed, pad], axis=2)
     return packed
+
+
+# ------------------------------------------------------------- traceback
+#
+# The XLA traceback is a T-step lax.scan of tiny [B, W] gathers; the
+# ~270 us/step scan floor makes it ~40-55 ms at T=200 — comparable to
+# the whole fused decode. Same trick: run the reverse walk as a
+# sequential Pallas grid with (cur, pos) in VMEM scratch. Emits are
+# written per frame; the final flat scatter stays in XLA (one op).
+
+def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
+               cur_scr, pos_scr, *, T: int, L: int):
+    pid = pl.program_id(0)              # walks t = T-1 ... 0 via index_map
+
+    @pl.when(pid == 0)
+    def _():
+        B = len_ref.shape[0]
+        cur_scr[:] = lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        pos_scr[:] = len_ref[:]
+
+    cur = cur_scr[:]
+    pos = pos_scr[:]
+    packed = jnp.take_along_axis(ys_ref[0], cur, axis=1)
+    parent = packed & 0x7FFF
+    char = (packed >> 15) & 0x7FFF
+    app = (packed >> 30) & 1
+    emit = jnp.minimum(pos - 1, L)
+    emit = jnp.where(emit < 0, L, emit)
+    emit = jnp.where(app > 0, emit, L)              # L == discard slot
+    t_rel = (T - 1) - pid
+    val_ref[0] = jnp.where(app > 0, char, -1)
+    pos_ref[0] = emit
+    trel_ref[0] = jnp.where(app > 0, t_rel, -1)
+    cur_scr[:] = parent
+    pos_scr[:] = pos - app
+    cur_fin_ref[:] = parent
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
+                     L: int, interpret: bool = False):
+    """Reverse backpointer walk on-chip.
+
+    packed_ys: [T, B, S'] (S' <= 128, padded to S lanes here);
+    final_lengths: [B, S']. Returns (tok_vals, tok_pos, tok_trel) each
+    [T, B, S'] and start_parent [B, S'], value-equal to the lax.scan in
+    decoder/beam_search._traceback."""
+    T, B, Sp = packed_ys.shape
+    if Sp < S:
+        packed_ys = jnp.pad(packed_ys, ((0, 0), (0, 0), (0, S - Sp)))
+        final_lengths = jnp.pad(final_lengths, ((0, 0), (0, S - Sp)))
+
+    rev = lambda t: (T - 1 - t, 0, 0)
+    vals, pos, trel, cur_fin = pl.pallas_call(
+        functools.partial(_tb_kernel, T=T, L=L),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, S), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.int32),
+                        pltpu.VMEM((B, S), jnp.int32)],
+        interpret=interpret,
+    )(packed_ys, final_lengths)
+    return (vals[:, :, :Sp], pos[:, :, :Sp], trel[:, :, :Sp],
+            cur_fin[:, :Sp])
