@@ -610,10 +610,10 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                 and topk_impl == "exact" and lm_bias is None
                 and W <= 128 and V <= 128)
     if merge_impl == "auto":
-        # the fused kernel always pays for a 128x128 grid; small W*V
-        # configs stay on the XLA path (cheaper there, and the kernel's
-        # fixed cost dominates). Interpret mode (CPU) is test-only/slow.
-        return (eligible and W * V >= 4000
+        # measured TPU crossover (post row-trim): W=32,V=29 (W*V=928)
+        # wins 1.15x; W=10,V=29 (290) loses 0.95x. Small grids stay on
+        # the XLA path. Interpret mode (CPU) is test-only/slow.
+        return (eligible and W * V >= 768
                 and jax.default_backend() == "tpu")
     if merge_impl != "pallas":
         return False

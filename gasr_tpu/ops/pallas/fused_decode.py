@@ -108,7 +108,18 @@ def _take1(x, idx):
 
 
 def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
-            blank_id: int, debug_stage: int = 99):
+            blank_id: int, Wg: int, debug_stage: int = 99):
+    # Wg: trimmed grid-row count (round_up(W, 8) <= 128) — beam slots
+    # live in S=128 lanes, but candidate-grid ROW axes only need W
+    # entries, so all [*, S, *] work shrinks to [*, Wg, *]. Flat phase
+    # sizes follow: Ng = Wg * VP, Cg = Wg chunks.
+    Ng = Wg * VP
+    Cg = Wg
+
+    def rows(x2):
+        """[Bt, S] lane-array -> [Bt, Wg, 1] grid-row column."""
+        return jnp.expand_dims(x2, 2)[:, :Wg]
+
     # debug_stage: bring-up bisection knob — truncate the frame body
     # after stage N and emit a placeholder so nothing is DCE'd.
     def _emit(val_i32):
@@ -146,15 +157,15 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
     # compiler (probed) — conjunctions here are int32 products.
     live_i = st[F_LIVE]
-    c1 = (jnp.expand_dims(h1, 2) == jnp.expand_dims(hp1, 1))
-    c2 = (jnp.expand_dims(h2, 2) == jnp.expand_dims(hp2, 1))
-    c3 = (jnp.expand_dims(length, 2) == jnp.expand_dims(length, 1) - 1)
+    c1 = (rows(h1) == jnp.expand_dims(hp1, 1))
+    c2 = (rows(h2) == jnp.expand_dims(hp2, 1))
+    c3 = (rows(length) == jnp.expand_dims(length, 1) - 1)
     eqi = (c1.astype(jnp.int32) * c2.astype(jnp.int32) *
-           c3.astype(jnp.int32) * jnp.expand_dims(live_i, 2) *
-           jnp.expand_dims(live_i, 1))              # [Bt, S, S] 0/1
+           c3.astype(jnp.int32) * rows(live_i) *
+           jnp.expand_dims(live_i, 1))              # [Bt, Wg, S] 0/1
     has_match = jnp.max(eqi, axis=1) > 0            # [Bt, S]
-    w_rev = (S - 1) - lax.broadcasted_iota(jnp.int32, (Bt, S, S), 1)
-    match = (S - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
+    w_rev = (Wg - 1) - lax.broadcasted_iota(jnp.int32, (Bt, Wg, S), 1)
+    match = (Wg - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
     match = jnp.where(has_match, match, 0)
 
     pb_m = _take1(pb, match)
@@ -176,40 +187,44 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     if debug_stage <= -1:
         return _emit(_f2i(stay_score))
 
-    # ---- extend grid [Bt, S, VP]
-    v3 = lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)
-    w3 = lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 1)
-    is_rep = v3 == jnp.expand_dims(last, 2)
-    ext_pnb3 = jnp.where(is_rep, jnp.expand_dims(pb, 2),
-                         jnp.expand_dims(total, 2)) + jnp.expand_dims(f, 1)
+    # ---- extend grid [Bt, Wg, VP]
+    v3 = lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 2)
+    w3 = lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 1)
+    is_rep = v3 == rows(last)
+    ext_pnb3 = jnp.where(is_rep, rows(pb),
+                         rows(total)) + jnp.expand_dims(f, 1)
 
     # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
     # last_k == v (batched one-hot contraction over k on the MXU).
-    # i1 conjunctions via f32 products (see note above).
-    hm_f = jnp.expand_dims(has_match.astype(jnp.float32), 2)
-    a_m = (jnp.expand_dims(match, 2) ==
-           lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)
+    # i1 conjunctions via f32 products (see note above). k rows trim to
+    # Wg (slots >= W are dead, has_match == 0); the contraction's w free
+    # dim comes out at S lanes and is row-sliced to Wg.
+    hm_f = rows(has_match.astype(jnp.float32))
+    a_m = (rows(match) ==
+           lax.broadcasted_iota(jnp.int32, (Bt, Wg, S), 2)
            ).astype(jnp.float32) * hm_f
-    a_v = (jnp.expand_dims(last_clip, 2) ==
-           lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2)
+    a_v = (rows(last_clip) ==
+           lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 2)
            ).astype(jnp.float32) * hm_f
     excl_i = (lax.dot_general(a_m, a_v, (((1,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-              > 0.5).astype(jnp.int32)
+              > 0.5).astype(jnp.int32)[:, :Wg]
     if debug_stage <= 0:
-        return _emit(jnp.sum(excl_i, axis=2) +
-                     _f2i(jnp.sum(ext_pnb3, axis=2)))
+        return _emit(jnp.pad(jnp.sum(excl_i, axis=2) +
+                             _f2i(jnp.sum(ext_pnb3, axis=2)),
+                             ((0, 0), (0, S - Wg))))
 
     valid_ext = ((v3 != blank_id).astype(jnp.int32) *
-                 jnp.expand_dims(live_i, 2) * (1 - excl_i))
+                 rows(live_i) * (1 - excl_i))
     cand3 = jnp.where(valid_ext > 0, ext_pnb3, DEAD)
-    cand3 = jnp.where(v3 == blank_id, jnp.expand_dims(stay_score, 2), cand3)
+    cand3 = jnp.where(v3 == blank_id, rows(stay_score), cand3)
     # grid pads rank strictly below every XLA candidate
     in_grid = (v3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
     cand3 = jnp.where(in_grid > 0, cand3, PAD)
-    cand = cand3.reshape(Bt, N)
+    cand = cand3.reshape(Bt, Ng)
     if debug_stage <= 1:
-        return _emit(_f2i(jnp.sum(cand3, axis=2)))
+        return _emit(jnp.pad(_f2i(jnp.sum(cand3, axis=2)),
+                             ((0, 0), (0, S - Wg))))
 
     # ---- exact top-W threshold: 32-step bit bisection (topk.py scheme)
     u = _monotone_bits(cand)
@@ -226,23 +241,31 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     if debug_stage <= 2:
         return _emit(jnp.broadcast_to(count_gt, (Bt, S)))
 
-    # ---- per-chunk cumsums (C chunks of 128 lanes) via LT matmuls
+    # ---- per-chunk cumsums (Cg chunks of 128 lanes) via LT matmuls.
+    # chunk-indexed lane arrays (cnt/off) are zero-padded to S=128 lanes
+    # so the slot-side same-shape gathers/compares keep 128 lanes.
     lt = (lax.broadcasted_iota(jnp.int32, (128, 128), 0) <=
           lax.broadcasted_iota(jnp.int32, (128, 128), 1)
           ).astype(jnp.float32)
-    slt = (lax.broadcasted_iota(jnp.int32, (C, C), 0) <
-           lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(jnp.float32)
+    slt = (lax.broadcasted_iota(jnp.int32, (S, S), 0) <
+           lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(jnp.float32)
 
     def two_level_rank(mask_f):
-        """Global exclusive rank + per-chunk bits of a [Bt, N] 0/1 mask."""
-        m3 = mask_f.reshape(Bt, C, 128)
+        """Global exclusive rank + per-chunk bits of a [Bt, Ng] 0/1
+        mask. cnt/off returned at S lanes (pad chunks count 0)."""
+        m3 = mask_f.reshape(Bt, Cg, 128)
         within = lax.dot_general(m3, lt, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        cnt_c = within[:, :, 127:128][:, :, 0]          # [Bt, C]
+        within_p = within
+        if Cg < S:
+            # pad BEFORE the column slice: concatenating a sliced
+            # 1-lane column trips a Mosaic concat offset limitation
+            within_p = jnp.pad(within, ((0, 0), (0, S - Cg), (0, 0)))
+        cnt_c = within_p[:, :, 127:128][:, :, 0]        # [Bt, S]
         off_c = lax.dot_general(cnt_c, slt, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         excl_rank = (within - m3 +
-                     jnp.expand_dims(off_c, 2)).reshape(Bt, N)
+                     jnp.expand_dims(off_c, 2)[:, :Cg]).reshape(Bt, Ng)
         return excl_rank, within - m3, cnt_c, off_c
 
     eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
@@ -253,10 +276,12 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
         return _emit(_f2i(off_c))
 
     # ---- slot k -> flat candidate index, two-level inverse
-    # owning chunk: last c with off_c <= k (empty chunks tie-through)
+    # owning chunk: last c with off_c <= k (empty chunks tie-through;
+    # pad chunks carry off == total, so valid slots k < W never pick
+    # them and garbage slots are masked by the sort key)
     k_iota = lane                                       # [Bt, S] slot ids
     cmp = (jnp.expand_dims(off_c, 2) <=
-           jnp.expand_dims(k_iota.astype(jnp.float32), 1))   # [Bt, C, S]
+           jnp.expand_dims(k_iota.astype(jnp.float32), 1))   # [Bt, S, S]
     cos = jnp.sum(cmp.astype(jnp.int32), axis=1) - 1    # [Bt, S]
     off_sel = _take1(off_c, cos)
     lk = k_iota.astype(jnp.float32) - off_sel           # local rank
@@ -266,11 +291,14 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     # aborts the Mosaic compiler — probed). Exact: each output element
     # is 1.0 * value + zeros.
     oh_cos = (jnp.expand_dims(cos, 2) ==
-              lax.broadcasted_iota(jnp.int32, (Bt, S, C), 2)
-              ).astype(jnp.float32)                 # [Bt, S(k), C]
+              lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)
+              ).astype(jnp.float32)                 # [Bt, S(k), S(c)]
     # mask unselected lanes arithmetically (avoids reshaping an i1 mask)
-    sel3f = sel_f.reshape(Bt, C, 128)
+    sel3f = sel_f.reshape(Bt, Cg, 128)
     lpos_m = lpos3 + (1.0 - sel3f) * jnp.float32(1e6)
+    if Cg < S:                        # pad chunk rows for the matmul
+        lpos_m = jnp.pad(lpos_m, ((0, 0), (0, S - Cg), (0, 0)),
+                         constant_values=1e6)
 
     def chunk_rows(rows3):
         return lax.dot_general(oh_cos, rows3, (((2,), (1,)), ((0,), (0,))),
@@ -390,6 +418,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     """
     T, B, V_in = log_probs.shape
     assert V_in == V and W <= S and V <= VP
+    Wg = max(8, -(-W // 8) * 8)          # trimmed grid rows
     f = log_probs
     if V < VP:
         f = jnp.pad(f, ((0, 0), (0, 0), (0, VP - V)))
@@ -403,7 +432,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     grid = (Bp // block_b, T)
     ys, fin = pl.pallas_call(
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
-                          debug_stage=debug_stage),
+                          Wg=Wg, debug_stage=debug_stage),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_b, VP), lambda b, t: (t, b, 0),
