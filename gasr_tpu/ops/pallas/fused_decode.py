@@ -72,6 +72,10 @@ C = N // 128                 # 128-lane chunks (== S, load-bearing: the
 F_H1, F_H2, F_HP1, F_HP2, F_LAST, F_LEN, F_LIVE, F_S1, F_S2 = range(9)
 NF = 9
 
+COARSE_BITS = 24             # hybrid bisection split (swept on TPU:
+                             # 16->142ms, 20->139, 24->134, 28->136 at
+                             # the flagship shape)
+
 
 class FusedDecodeOut(NamedTuple):
     ys: jax.Array       # [T, B, W] packed backpointers (beam_search._pack_ys)
@@ -226,21 +230,6 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
         return _emit(jnp.pad(_f2i(jnp.sum(cand3, axis=2)),
                              ((0, 0), (0, S - Wg))))
 
-    # ---- exact top-W threshold: 32-step bit bisection (topk.py scheme)
-    u = _monotone_bits(cand)
-    th = jnp.zeros((Bt, 1), jnp.uint32)
-    for bit in range(31, -1, -1):
-        trial = th | (jnp.uint32(1) << bit)
-        cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        th = jnp.where(cnt >= W, trial, th)
-    mask_gt = u > th
-    mask_eq = u == th
-    count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1, keepdims=True)
-    quota = (W - count_gt).astype(jnp.float32)
-    if debug_stage <= 2:
-        return _emit(jnp.broadcast_to(count_gt, (Bt, S)))
-
     # ---- per-chunk cumsums (Cg chunks of 128 lanes) via LT matmuls.
     # chunk-indexed lane arrays (cnt/off) are zero-padded to S=128 lanes
     # so the slot-side same-shape gathers/compares keep 128 lanes.
@@ -268,9 +257,49 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
                      jnp.expand_dims(off_c, 2)[:, :Cg]).reshape(Bt, Ng)
         return excl_rank, within - m3, cnt_c, off_c
 
-    eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
-    sel = mask_gt | (mask_eq & (eq_rank < quota))
-    sel_f = sel.astype(jnp.float32)
+    # ---- top-W selection: hybrid coarse/exact bit bisection.
+    # 16 coarse steps confine the threshold to the top 16 key bits. If
+    # every row then has <= S candidates above it (the common case),
+    # select them ALL ("slack" selection): the full-key bitonic below
+    # orders them exactly and slots >= W are killed after the sort, so
+    # the result is still bit-equal to lax.top_k — while skipping 16
+    # bisection passes AND the eq-rank cumsum. Heavy-tie frames (DEAD-
+    # dominated early frames, degenerate inputs) take 16 more steps +
+    # the index-order tie quota (lax.top_k's stable tie-break).
+    u = _monotone_bits(cand)
+    split = 32 - COARSE_BITS
+    th = jnp.zeros((Bt, 1), jnp.uint32)
+    for bit in range(31, split - 1, -1):
+        trial = th | (jnp.uint32(1) << bit)
+        cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        th = jnp.where(cnt >= W, trial, th)
+    cnt16 = jnp.sum((u >= th).astype(jnp.int32), axis=1, keepdims=True)
+    go_exact = jnp.max(cnt16) > S
+    if debug_stage <= 2:
+        return _emit(jnp.broadcast_to(cnt16, (Bt, S)))
+
+    def _sel_exact(th):
+        for bit in range(split - 1, -1, -1):
+            trial = th | (jnp.uint32(1) << bit)
+            cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
+                          keepdims=True)
+            th = jnp.where(cnt >= W, trial, th)
+        mask_gt = u > th
+        mask_eq = u == th
+        count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1,
+                           keepdims=True)
+        quota = (W - count_gt).astype(jnp.float32)
+        eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
+        return (mask_gt | (mask_eq & (eq_rank < quota))
+                ).astype(jnp.float32)
+
+    def _sel_slack(th):
+        return (u >= th).astype(jnp.float32)
+
+    sel_f = lax.cond(go_exact, _sel_exact, _sel_slack, th)
+    # slots beyond the selected count are garbage (W in exact mode)
+    ksel = jnp.where(go_exact, jnp.full_like(cnt16, W), cnt16)
     _, lpos3, cnt_c, off_c = two_level_rank(sel_f)      # per-chunk local pos
     if debug_stage <= 3:
         return _emit(_f2i(off_c))
@@ -342,7 +371,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
 
     # ---- order slots like lax.top_k: desc score, asc candidate index
     key = _f2i(_monotone_bits(top_val) ^ jnp.uint32(0x80000000))
-    key = jnp.where(k_iota < W, key, jnp.int32(-2147483647 - 1))
+    key = jnp.where(k_iota < ksel, key, jnp.int32(-2147483647 - 1))
     key_s, sidx = _bitonic_sort_desc(key, idx_n)
     if debug_stage <= 5:
         return _emit(sidx + key_s)
@@ -369,7 +398,9 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
         jnp.where(u_sorted >= jnp.uint32(0x80000000),
                   u_sorted & jnp.uint32(0x7FFFFFFF), ~u_sorted),
         jnp.float32)
-    new_live = top > DEAD * 0.5
+    # the W <= k < ksel slack extras must die here (exactness: slots
+    # 0..W-1 after the sort ARE lax.top_k's output; the rest is pad)
+    new_live = (top > DEAD * 0.5) & (k_iota < W)
 
     is_stay = v_sel == blank_id
     total_g = _logaddexp(pb_g, pnb_g)
@@ -406,7 +437,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     "W", "V", "blank_id", "block_b", "interpret", "debug_stage"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
-                        block_b: int = 8,
+                        block_b: int = 16,
                         interpret: bool = False,
                         debug_stage: int = 99) -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
