@@ -541,8 +541,12 @@ def pack_state(beam) -> jax.Array:
 # written per frame; the final flat scatter stays in XLA (one op).
 
 def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
-               cur_scr, pos_scr, *, T: int, L: int):
-    pid = pl.program_id(0)              # walks t = T-1 ... 0 via index_map
+               cur_scr, pos_scr, *, TBLK: int, L: int):
+    # one grid step processes TBLK frames (reverse order): the per-step
+    # work is tiny, so amortizing the grid/DMA overhead over TBLK
+    # sequential in-register iterations is the win (23 -> ~6 ms at
+    # T=200, B=256).
+    pid = pl.program_id(0)              # blocks walk from the end
 
     @pl.when(pid == 0)
     def _():
@@ -550,22 +554,26 @@ def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
         cur_scr[:] = lax.broadcasted_iota(jnp.int32, (B, S), 1)
         pos_scr[:] = len_ref[:]
 
+    nblk = pl.num_programs(0)
+    g0 = ((nblk - 1) - pid) * TBLK      # padded t of this block's row 0
     cur = cur_scr[:]
     pos = pos_scr[:]
-    packed = jnp.take_along_axis(ys_ref[0], cur, axis=1)
-    parent = packed & 0x7FFF
-    char = (packed >> 15) & 0x7FFF
-    app = (packed >> 30) & 1
-    emit = jnp.minimum(pos - 1, L)
-    emit = jnp.where(emit < 0, L, emit)
-    emit = jnp.where(app > 0, emit, L)              # L == discard slot
-    t_rel = (T - 1) - pid
-    val_ref[0] = jnp.where(app > 0, char, -1)
-    pos_ref[0] = emit
-    trel_ref[0] = jnp.where(app > 0, t_rel, -1)
-    cur_scr[:] = parent
-    pos_scr[:] = pos - app
-    cur_fin_ref[:] = parent
+    for j in range(TBLK - 1, -1, -1):
+        packed = jnp.take_along_axis(ys_ref[j], cur, axis=1)
+        parent = packed & 0x7FFF
+        char = (packed >> 15) & 0x7FFF
+        app = (packed >> 30) & 1
+        emit = jnp.minimum(pos - 1, L)
+        emit = jnp.where(emit < 0, L, emit)
+        emit = jnp.where(app > 0, emit, L)          # L == discard slot
+        val_ref[j] = jnp.where(app > 0, char, -1)
+        pos_ref[j] = emit
+        trel_ref[j] = jnp.where(app > 0, g0 + j, -1)
+        cur = parent
+        pos = pos - app
+    cur_scr[:] = cur
+    pos_scr[:] = pos
+    cur_fin_ref[:] = cur
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
@@ -581,32 +589,49 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
     if Sp < S:
         packed_ys = jnp.pad(packed_ys, ((0, 0), (0, 0), (0, S - Sp)))
         final_lengths = jnp.pad(final_lengths, ((0, 0), (0, S - Sp)))
+    TBLK = 8
+    t_pad = (-T) % TBLK
+    if t_pad:
+        # identity frames (parent = self, no append) prepended at the
+        # front: the reverse walk passes through them as no-ops
+        ident = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, None, :], (t_pad, B, S))
+        packed_ys = jnp.concatenate([ident, packed_ys], axis=0)
+    Tp = T + t_pad
 
-    rev = lambda t: (T - 1 - t, 0, 0)
     vals, pos, trel, cur_fin = pl.pallas_call(
-        functools.partial(_tb_kernel, T=T, L=L),
-        grid=(T,),
+        functools.partial(_tb_kernel, TBLK=TBLK, L=L),
+        grid=(Tp // TBLK,),
         in_specs=[
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
             jax.ShapeDtypeStruct((B, S), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((B, S), jnp.int32),
                         pltpu.VMEM((B, S), jnp.int32)],
         interpret=interpret,
     )(packed_ys, final_lengths)
-    return (vals[:, :, :Sp], pos[:, :, :Sp], trel[:, :, :Sp],
-            cur_fin[:, :Sp])
+    # un-pad: drop the identity frames, rebase emitted frame indices
+    vals = vals[t_pad:, :, :Sp]
+    pos = pos[t_pad:, :, :Sp]
+    trel = trel[t_pad:, :, :Sp]
+    if t_pad:
+        trel = jnp.where(trel >= 0, trel - t_pad, -1)
+    return vals, pos, trel, cur_fin[:, :Sp]
