@@ -458,19 +458,35 @@ def _traceback(packed_ys, final_lengths, L,
                               jnp.where(a, t, -1))
 
     if impl == "pallas":
-        # sequential Pallas grid instead of lax.scan: the ~270 us/step
-        # scan floor dominates the XLA walk at [B, W]-sized steps
+        # sequential Pallas grid instead of lax.scan + flat scatter: the
+        # ~270 us/step scan floor dominates the XLA walk at [B, W]-sized
+        # steps, and the T*B*W scatter costs another ~47 ms at flagship
+        # shape. The kernel commits emissions in-kernel and returns the
+        # final token matrices; positions not written by this walk are
+        # -1, so the streaming base overlay is a select.
         from gasr_tpu.ops.pallas.fused_decode import traceback_pallas
         interpret = jax.default_backend() != "tpu"
-        tok_vals, tok_pos, tok_t, start_parent = traceback_pallas(
+        k_tok, k_t, start_parent = traceback_pallas(
             packed_ys, final_lengths, L, interpret=interpret)
-        tok_t = jnp.where(tok_t >= 0, tok_t + t_offset, -1)
-    else:
-        cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
-        t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)
-        (start_parent, _), (tok_vals, tok_pos, tok_t) = lax.scan(
-            backstep, (cur0, final_lengths), (packed_ys, t_idx),
-            reverse=True)
+        k_t = jnp.where(k_t >= 0, k_t + t_offset, -1)
+        if base_tokens is None:
+            return k_tok, k_t, start_parent
+
+        def overlay(kern, buf):
+            base = jnp.take_along_axis(buf, start_parent[:, :, None],
+                                       axis=1)
+            return jnp.where(k_tok >= 0, kern, base)
+
+        # mask on k_tok for BOTH buffers: a chunk emission always writes
+        # token >= 0 and timestep >= 0 at the same positions
+        return (overlay(k_tok, base_tokens),
+                overlay(k_t, base_timesteps), start_parent)
+
+    cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
+    t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)
+    (start_parent, _), (tok_vals, tok_pos, tok_t) = lax.scan(
+        backstep, (cur0, final_lengths), (packed_ys, t_idx),
+        reverse=True)
 
     # the flat scatter is layout-agnostic: index directly in [Tc, B, W]
     # (transposing three [Tc, B, W] buffers costs more than the scatter)

@@ -90,6 +90,10 @@ class FusedDecodeOut(NamedTuple):
     s2: jax.Array
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _logaddexp(a, b):
     # expression-identical to beam_search._logaddexp (bit parity)
     m = jnp.maximum(a, b)
@@ -534,30 +538,39 @@ def pack_state(beam) -> jax.Array:
 
 # ------------------------------------------------------------- traceback
 #
-# The XLA traceback is a T-step lax.scan of tiny [B, W] gathers; the
-# ~270 us/step scan floor makes it ~40-55 ms at T=200 — comparable to
-# the whole fused decode. Same trick: run the reverse walk as a
-# sequential Pallas grid with (cur, pos) in VMEM scratch. Emits are
-# written per frame; the final flat scatter stays in XLA (one op).
+# The XLA traceback is a T-step lax.scan of tiny [B, W] gathers plus a
+# T*B*W-element flat scatter; the ~270 us/step scan floor makes it
+# ~40-55 ms at T=200 and the scatter another ~47 ms. Here the whole
+# thing is one Pallas program: the reverse walk runs as a sequential
+# grid over frame blocks with (cur, pos) in VMEM scratch, and each
+# emission is committed IN-KERNEL into persistent [Bblk, Lp, S] token /
+# timestep output blocks via an iota-compare select (Mosaic has no
+# scatter; each beam writes at most one distinct position per frame, so
+# a one-hot row select is exact). No [T, B, S] intermediates ever reach
+# HBM: output is the final token matrix.
 
-def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
-               cur_scr, pos_scr, *, TBLK: int, L: int):
-    # one grid step processes TBLK frames (reverse order): the per-step
-    # work is tiny, so amortizing the grid/DMA overhead over TBLK
-    # sequential in-register iterations is the win (23 -> ~6 ms at
-    # T=200, B=256).
-    pid = pl.program_id(0)              # blocks walk from the end
+def _tb_kernel(ys_ref, len_ref, tok_ref, ts_ref, cur_fin_ref,
+               cur_scr, pos_scr, *, TBLK: int, L: int, Lp: int):
+    # grid = (batch blocks, frame blocks); frame blocks walk t backwards
+    # and are the fast axis, so (cur, pos) scratch and the token output
+    # block stay resident in VMEM for a full batch block's walk.
+    it = pl.program_id(1)
+    Bb = len_ref.shape[0]
 
-    @pl.when(pid == 0)
+    @pl.when(it == 0)
     def _():
-        B = len_ref.shape[0]
-        cur_scr[:] = lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        cur_scr[:] = lax.broadcasted_iota(jnp.int32, (Bb, S), 1)
         pos_scr[:] = len_ref[:]
+        tok_ref[:] = jnp.full((Bb, Lp, S), -1, jnp.int32)
+        ts_ref[:] = jnp.full((Bb, Lp, S), -1, jnp.int32)
 
-    nblk = pl.num_programs(0)
-    g0 = ((nblk - 1) - pid) * TBLK      # padded t of this block's row 0
+    nblk = pl.num_programs(1)
+    g0 = ((nblk - 1) - it) * TBLK       # padded t of this block's row 0
     cur = cur_scr[:]
     pos = pos_scr[:]
+    tok = tok_ref[:]
+    ts = ts_ref[:]
+    liota = lax.broadcasted_iota(jnp.int32, (Bb, Lp, S), 1)
     for j in range(TBLK - 1, -1, -1):
         packed = jnp.take_along_axis(ys_ref[j], cur, axis=1)
         parent = packed & 0x7FFF
@@ -565,12 +578,16 @@ def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
         app = (packed >> 30) & 1
         emit = jnp.minimum(pos - 1, L)
         emit = jnp.where(emit < 0, L, emit)
-        emit = jnp.where(app > 0, emit, L)          # L == discard slot
-        val_ref[j] = jnp.where(app > 0, char, -1)
-        pos_ref[j] = emit
-        trel_ref[j] = jnp.where(app > 0, g0 + j, -1)
+        emit = jnp.where(app > 0, emit, L)          # row L == discard
+        hit = liota == jnp.broadcast_to(emit[:, None, :], (Bb, Lp, S))
+        tok = jnp.where(hit,
+                        jnp.broadcast_to(char[:, None, :], (Bb, Lp, S)),
+                        tok)
+        ts = jnp.where(hit, g0 + j, ts)
         cur = parent
         pos = pos - app
+    tok_ref[:] = tok
+    ts_ref[:] = ts
     cur_scr[:] = cur
     pos_scr[:] = pos
     cur_fin_ref[:] = cur
@@ -579,13 +596,16 @@ def _tb_kernel(ys_ref, len_ref, val_ref, pos_ref, trel_ref, cur_fin_ref,
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
 def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
                      L: int, interpret: bool = False):
-    """Reverse backpointer walk on-chip.
+    """Reverse backpointer walk + token materialization on-chip.
 
     packed_ys: [T, B, S'] (S' <= 128, padded to S lanes here);
-    final_lengths: [B, S']. Returns (tok_vals, tok_pos, tok_trel) each
-    [T, B, S'] and start_parent [B, S'], value-equal to the lax.scan in
-    decoder/beam_search._traceback."""
-    T, B, Sp = packed_ys.shape
+    final_lengths: [B, S'] ABSOLUTE prefix lengths at walk start.
+    Returns (tokens [B, S', L], trel [B, S', L], start_parent [B, S']):
+    tokens/trel are -1 where this walk emitted nothing (streaming
+    callers overlay base prefixes there); trel is the 0-based frame
+    index within packed_ys. Value-equal to the lax.scan + flat-scatter
+    path in decoder/beam_search._traceback."""
+    T, B0, Sp = packed_ys.shape
     if Sp < S:
         packed_ys = jnp.pad(packed_ys, ((0, 0), (0, 0), (0, S - Sp)))
         final_lengths = jnp.pad(final_lengths, ((0, 0), (0, S - Sp)))
@@ -595,43 +615,48 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
         # identity frames (parent = self, no append) prepended at the
         # front: the reverse walk passes through them as no-ops
         ident = jnp.broadcast_to(
-            jnp.arange(S, dtype=jnp.int32)[None, None, :], (t_pad, B, S))
+            jnp.arange(S, dtype=jnp.int32)[None, None, :], (t_pad, B0, S))
         packed_ys = jnp.concatenate([ident, packed_ys], axis=0)
     Tp = T + t_pad
 
-    vals, pos, trel, cur_fin = pl.pallas_call(
-        functools.partial(_tb_kernel, TBLK=TBLK, L=L),
-        grid=(Tp // TBLK,),
+    BBLK = min(64, _round_up(B0, 8))
+    b_pad = (-B0) % BBLK
+    if b_pad:
+        # dead rows: zero lengths + zero ys (parent 0, no append)
+        packed_ys = jnp.pad(packed_ys, ((0, 0), (0, b_pad), (0, 0)))
+        final_lengths = jnp.pad(final_lengths, ((0, b_pad), (0, 0)))
+    B = B0 + b_pad
+    Lp = _round_up(L + 1, 8)
+    nB, nT = B // BBLK, Tp // TBLK
+
+    tok, trel, cur_fin = pl.pallas_call(
+        functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp),
+        grid=(nB, nT),
         in_specs=[
-            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+            pl.BlockSpec((TBLK, BBLK, S), lambda b, t: (nT - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda t: (0, 0),
+            pl.BlockSpec((BBLK, S), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TBLK, B, S), lambda t: (Tp // TBLK - 1 - t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda t: (0, 0),
+            pl.BlockSpec((BBLK, S), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
-            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
-            jax.ShapeDtypeStruct((Tp, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, Lp, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, Lp, S), jnp.int32),
             jax.ShapeDtypeStruct((B, S), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.int32),
-                        pltpu.VMEM((B, S), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((BBLK, S), jnp.int32),
+                        pltpu.VMEM((BBLK, S), jnp.int32)],
         interpret=interpret,
     )(packed_ys, final_lengths)
-    # un-pad: drop the identity frames, rebase emitted frame indices
-    vals = vals[t_pad:, :, :Sp]
-    pos = pos[t_pad:, :, :Sp]
-    trel = trel[t_pad:, :, :Sp]
-    if t_pad:
-        trel = jnp.where(trel >= 0, trel - t_pad, -1)
-    return vals, pos, trel, cur_fin[:, :Sp]
+    # un-pad: drop pad rows/identity frames, [B, Lp, S] -> [B, S', L]
+    tok = jnp.transpose(tok[:B0, :L, :Sp], (0, 2, 1))
+    trel = jnp.transpose(trel[:B0, :L, :Sp], (0, 2, 1))
+    trel = jnp.where(trel >= 0, trel - t_pad, -1)
+    return tok, trel, cur_fin[:B0, :Sp]
