@@ -115,12 +115,19 @@ def _take1(x, idx):
     return jnp.take_along_axis(x, idx, axis=1)
 
 
-def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
-            blank_id: int, Wg: int, debug_stage: int = 99):
-    # Wg: trimmed grid-row count (round_up(W, 8) <= 128) — beam slots
-    # live in S=128 lanes, but candidate-grid ROW axes only need W
-    # entries, so all [*, S, *] work shrinks to [*, Wg, *]. Flat phase
-    # sizes follow: Ng = Wg * VP, Cg = Wg chunks.
+def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
+                debug_stage: int = 99):
+    """One beam-search frame transition on in-register field values.
+
+    fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
+    Returns (ys_row, new_fields); new_fields is None when a debug_stage
+    truncation fired (ys_row then carries the stage placeholder).
+
+    Wg: trimmed grid-row count (round_up(W, 8) <= 128) — beam slots
+    live in S=128 lanes, but candidate-grid ROW axes only need W
+    entries, so all [*, S, *] work shrinks to [*, Wg, *]. Flat phase
+    sizes follow: Ng = Wg * VP, Cg = Wg chunks.
+    """
     Ng = Wg * VP
     Cg = Wg
 
@@ -131,26 +138,21 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     # debug_stage: bring-up bisection knob — truncate the frame body
     # after stage N and emit a placeholder so nothing is DCE'd.
     def _emit(val_i32):
-        ys_ref[0] = val_i32
-        fin_ref[...] = st[...]
-    t = pl.program_id(1)
+        return val_i32, None
 
-    @pl.when(t == 0)
-    def _():
-        st[...] = init_ref[...]
-
-    f = f_ref[0]                                   # [Bt, VP] f32
     Bt = f.shape[0]
 
-    h1 = st[F_H1]
-    h2 = st[F_H2]
-    hp1 = st[F_HP1]
-    hp2 = st[F_HP2]
-    last = st[F_LAST]
-    length = st[F_LEN]
-    liveb = st[F_LIVE] > 0
-    pb = _i2f(st[F_S1])
-    pnb = _i2f(st[F_S2])
+    (h1_i, h2_i, hp1_i, hp2_i, last_i32, len_i32, live_i32,
+     s1_i, s2_i) = fields
+    h1 = h1_i
+    h2 = h2_i
+    hp1 = hp1_i
+    hp2 = hp2_i
+    last = last_i32
+    length = len_i32
+    liveb = live_i32 > 0
+    pb = _i2f(s1_i)
+    pnb = _i2f(s2_i)
 
     lane = lax.broadcasted_iota(jnp.int32, (Bt, S), 1)
 
@@ -164,7 +166,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     # prefix held by stay slot w' (hash + length-offset identity).
     # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
     # compiler (probed) — conjunctions here are int32 products.
-    live_i = st[F_LIVE]
+    live_i = live_i32
     c1 = (rows(h1) == jnp.expand_dims(hp1, 1))
     c2 = (rows(h2) == jnp.expand_dims(hp2, 1))
     c3 = (rows(length) == jnp.expand_dims(length, 1) - 1)
@@ -421,19 +423,44 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     n_last = jnp.where(is_stay, last_g, v_sel)
     n_len = len_g + jnp.where(is_stay, 0, 1)
 
-    st[F_H1] = nh1
-    st[F_H2] = nh2
-    st[F_HP1] = nhp1
-    st[F_HP2] = nhp2
-    st[F_LAST] = n_last
-    st[F_LEN] = n_len
-    st[F_LIVE] = new_live.astype(jnp.int32)
-    st[F_S1] = _f2i(ns1)
-    st[F_S2] = _f2i(ns2)
-
     appended = (~is_stay) & new_live
-    ys_ref[0] = (w_sel | (jnp.maximum(n_last, 0) << 15)
-                 | (appended.astype(jnp.int32) << 30))
+    ys_row = (w_sel | (jnp.maximum(n_last, 0) << 15)
+              | (appended.astype(jnp.int32) << 30))
+    new_fields = (nh1, nh2, nhp1, nhp2, n_last, n_len,
+                  new_live.astype(jnp.int32), _f2i(ns1), _f2i(ns2))
+    return ys_row, new_fields
+
+
+def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
+            blank_id: int, Wg: int, TBLK: int, T_real: int,
+            debug_stage: int = 99):
+    # TBLK frames per grid step: the frame body is unrolled in-kernel so
+    # the fixed per-grid-step cost (DMA setup + launch) is amortized.
+    # Tail frames beyond T_real compute on pad input but their state
+    # update is select-masked out, so `fin` is the state after frame
+    # T_real-1 exactly.
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st[...] = init_ref[...]
+
+    fields = tuple(st[i] for i in range(NF))
+    for j in range(TBLK):
+        ys_row, new_fields = _frame_math(
+            f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg,
+            debug_stage=debug_stage)
+        ys_ref[j] = ys_row
+        if new_fields is None:      # debug truncation: state untouched
+            break
+        if T_real % TBLK == 0:      # no tail: every frame is real
+            fields = new_fields
+        else:
+            valid = (t * TBLK + j) < T_real
+            fields = tuple(jnp.where(valid, n, o)
+                           for n, o in zip(new_fields, fields))
+    for i in range(NF):
+        st[i] = fields[i]
     fin_ref[...] = st[...]
 
 
@@ -464,30 +491,41 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                               ((0, 0), (0, b_pad), (0, 0)))
     Bp = B + b_pad
 
-    grid = (Bp // block_b, T)
+    # frames per grid step (unrolled in-kernel); debug truncation needs
+    # the one-frame-per-step layout
+    TBLK = 1 if debug_stage < 99 else min(4, T)
+    t_pad = (-T) % TBLK
+    if t_pad:
+        f = jnp.pad(f, ((0, t_pad), (0, 0), (0, 0)))
+    Tp = T + t_pad
+
+    grid = (Bp // block_b, Tp // TBLK)
     ys, fin = pl.pallas_call(
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
-                          Wg=Wg, debug_stage=debug_stage),
+                          Wg=Wg, TBLK=TBLK, T_real=T,
+                          debug_stage=debug_stage),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b, VP), lambda b, t: (t, b, 0),
+            pl.BlockSpec((TBLK, block_b, VP), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, S), lambda b, t: (t, b, 0),
+            pl.BlockSpec((TBLK, block_b, S), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, Bp, S), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Bp, S), jnp.int32),
             jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((NF, block_b, S), jnp.int32)],
         interpret=interpret,
     )(f, init_packed)
+    if t_pad:
+        ys = ys[:T]
 
     ys = ys[:, :B, :W]
     fin = fin[:, :B, :W]
