@@ -464,7 +464,14 @@ def _traceback(packed_ys, final_lengths, L,
         # shape. The kernel commits emissions in-kernel and returns the
         # final token matrices; positions not written by this walk are
         # -1, so the streaming base overlay is a select.
-        from gasr_tpu.ops.pallas.fused_decode import traceback_pallas
+        from gasr_tpu.ops.pallas.fused_decode import (traceback_pallas,
+                                                      traceback_vmem_blk)
+        if traceback_vmem_blk(L) < 8:
+            # max_len too large for the kernel's scoped-VMEM budget:
+            # the XLA scan walk below handles any L (round-1 bench
+            # lesson — never let a shape turn into a compile error)
+            impl = "scan"
+    if impl == "pallas":
         interpret = jax.default_backend() != "tpu"
         k_tok, k_t, start_parent = traceback_pallas(
             packed_ys, final_lengths, L, interpret=interpret)

@@ -586,6 +586,30 @@ def pack_state(beam) -> jax.Array:
 # scatter; each beam writes at most one distinct position per frame, so
 # a one-hot row select is exact). No [T, B, S] intermediates ever reach
 # HBM: output is the final token matrix.
+#
+# VMEM sizing: the two persistent [BBLK, Lp, S] int32 output blocks
+# dominate the kernel's scoped-VMEM stack. The round-1 official bench
+# OOMed here with BBLK hardcoded to 64 at L=256 (Lp=264): 17.3 MB of
+# outputs + ~1.3 MB of input double-buffers/select temporaries > the
+# 16 MB scoped limit (BENCH_r01.json). BBLK is now computed from a
+# static budget; callers use traceback_vmem_blk() to fall back to the
+# XLA scan walk when even BBLK=8 cannot fit (very large max_len).
+
+_TB_OUT_BUDGET = 12 * 2**20     # bytes for the two output blocks; the
+                                # measured non-output overhead at
+                                # BBLK=64/Lp=264 was ~1.3 MB, so 12 MB
+                                # leaves >2.5 MB headroom under 16 MB
+
+
+def traceback_vmem_blk(L: int) -> int:
+    """Largest batch-block (multiple of 8, <= 64) whose persistent
+    token/timestep output blocks fit the scoped-VMEM budget at max_len
+    L. Returns 0 when the kernel cannot run (callers must use the XLA
+    scan traceback)."""
+    Lp = _round_up(L + 1, 8)
+    per_row = 2 * Lp * S * 4            # two int32 [1, Lp, S] rows
+    blk = (_TB_OUT_BUDGET // per_row) // 8 * 8
+    return max(0, min(64, blk))
 
 def _tb_kernel(ys_ref, len_ref, tok_ref, ts_ref, cur_fin_ref,
                cur_scr, pos_scr, *, TBLK: int, L: int, Lp: int):
@@ -657,14 +681,19 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
         packed_ys = jnp.concatenate([ident, packed_ys], axis=0)
     Tp = T + t_pad
 
-    BBLK = min(64, _round_up(B0, 8))
+    Lp = _round_up(L + 1, 8)
+    BBLK = min(traceback_vmem_blk(L), _round_up(B0, 8))
+    if BBLK < 8:
+        raise ValueError(
+            f"traceback_pallas cannot fit max_len={L} in scoped VMEM "
+            f"(needs BBLK >= 8); use the scan traceback "
+            f"(gated by traceback_vmem_blk)")
     b_pad = (-B0) % BBLK
     if b_pad:
         # dead rows: zero lengths + zero ys (parent 0, no append)
         packed_ys = jnp.pad(packed_ys, ((0, 0), (0, b_pad), (0, 0)))
         final_lengths = jnp.pad(final_lengths, ((0, b_pad), (0, 0)))
     B = B0 + b_pad
-    Lp = _round_up(L + 1, 8)
     nB, nT = B // BBLK, Tp // TBLK
 
     tok, trel, cur_fin = pl.pallas_call(
