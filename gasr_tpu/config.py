@@ -36,6 +36,7 @@ class Config:
     compute_dtype: str = "float32"   # float32 | bfloat16 (params stay f32)
     blank_id: int = 0
     decode_max_len: int = 256     # reference DECODE_MAX_LEN (CTCBeamSearch.h:8); ours is a knob
+    cmvn: bool = False            # per-utterance feature mean/var norm (data/features.py)
     decoder: str = "prefix"       # prefix (standard/log-space) | reference (blank-annotated) | greedy
     log_space: bool = True        # prefix decoder always log-space; reference decoder optionally
     num_blocks: Optional[int] = None  # conformer depth override (None=preset)

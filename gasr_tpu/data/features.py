@@ -72,6 +72,28 @@ def logmel_jax(audio: jax.Array, sample_rate: int = 16000, n_fft: int = 512,
     return jnp.log(mel + 1e-10)
 
 
+def cmvn(feats: jax.Array, lengths=None, eps: float = 1e-8) -> jax.Array:
+    """Per-utterance cepstral mean/variance normalization over time.
+
+    feats [..., T, F] -> zero-mean unit-variance per (utterance,
+    feature). The standard ASR frontend step the reference lacks (its
+    inputs are random tensors); enabled via Config.cmvn and applied by
+    Pipeline.transcribe_audio. When `lengths` [...] is given, padded
+    frames (t >= length) are excluded from the statistics and zeroed.
+    """
+    if lengths is None:
+        m = jnp.mean(feats, axis=-2, keepdims=True)
+        v = jnp.var(feats, axis=-2, keepdims=True)
+        return (feats - m) / jnp.sqrt(v + eps)
+    T = feats.shape[-2]
+    mask = (jnp.arange(T)[:, None] <
+            jnp.asarray(lengths)[..., None, None]).astype(feats.dtype)
+    n = jnp.maximum(jnp.sum(mask, axis=-2, keepdims=True), 1.0)
+    m = jnp.sum(feats * mask, axis=-2, keepdims=True) / n
+    v = jnp.sum((feats - m) ** 2 * mask, axis=-2, keepdims=True) / n
+    return (feats - m) / jnp.sqrt(v + eps) * mask
+
+
 def add_context(feats: jax.Array, n_context: int) -> jax.Array:
     """Frame stacking: [.., T, F] -> [.., T, F*(1+2*n_context)].
 

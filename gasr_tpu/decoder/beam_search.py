@@ -629,9 +629,10 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
     merge_impl="pallas" (raises if the request can't be honored);
     "auto" picks it on TPU for large candidate grids, where it beats
     the XLA matched-merge scan (measured 1.9x at W=100, V=47)."""
+    shape_ok = (W <= 128 and V <= 128) or (W <= 64 and V <= 256)
     eligible = (algorithm == "prefix" and log_domain
                 and topk_impl == "exact" and lm_bias is None
-                and W <= 128 and V <= 128)
+                and shape_ok)
     if merge_impl == "auto":
         # measured TPU crossover (post row-trim): W=32,V=29 (W*V=928)
         # wins 1.15x; W=10,V=29 (290) loses 0.95x. Small grids stay on
@@ -648,9 +649,9 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
     if lm_bias is not None:
         raise ValueError("merge_impl='pallas' does not support lm_bias "
                          "yet; use merge_impl='matched'")
-    if W > 128 or V > 128:
+    if not shape_ok:
         raise ValueError("merge_impl='pallas' requires W <= 128 and "
-                         "V <= 128")
+                         "V <= 128, or W <= 64 and V <= 256")
     return True
 
 

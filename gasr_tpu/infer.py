@@ -120,7 +120,11 @@ class Pipeline:
                           np.float32)
         for i, f in enumerate(feats):
             padded[i, :f.shape[0]] = f
-        x = add_context(jnp.asarray(padded), self.config.n_context)
+        padded = jnp.asarray(padded)
+        if self.config.cmvn:
+            from gasr_tpu.data.features import cmvn
+            padded = cmvn(padded, lengths=jnp.asarray(lengths))
+        x = add_context(padded, self.config.n_context)
         lp = self.log_probs(x)
         res = ctc_beam_search(
             lp, beam_width=self.config.beam_width,

@@ -116,7 +116,7 @@ def _take1(x, idx):
 
 
 def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
-                debug_stage: int = 99):
+                P: int = 1, VPX: int = VP, debug_stage: int = 99):
     """One beam-search frame transition on in-register field values.
 
     fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
@@ -125,15 +125,67 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 
     Wg: trimmed grid-row count (round_up(W, 8) <= 128) — beam slots
     live in S=128 lanes, but candidate-grid ROW axes only need W
-    entries, so all [*, S, *] work shrinks to [*, Wg, *]. Flat phase
-    sizes follow: Ng = Wg * VP, Cg = Wg chunks.
+    entries, so all [*, S, *] work shrinks to [*, Wg, *].
+
+    P: beam rows PACKED per 128-lane grid row (1, 2, or 4; requires
+    V <= 128/P). The kernel is VPU-roofline-bound and at the flagship
+    V=47 the vocab occupies only 47 of 128 lanes — P=2 halves every
+    flat-phase pass (bisection, ranks, grid construction, compaction)
+    by folding beam row r+Rg into the upper 64 lanes of row r:
+    lane l -> (w = r + Rg*(l // Vpk), v = l % Vpk), Vpk = 128 / P.
+    Flat sizes: Rg = Wg/P grid rows, Ng = Rg*128, Cg = Rg chunks.
+    VPX: padded vocab lane width (128 for V <= 128; 256 — two lane
+    tiles — for 128 < V <= 256, the conformer vocab case). VPX == 256
+    requires P == 1 and Wg <= 64 (so chunk count Cg = Wg*VPX/128 fits
+    the 128-lane chunk arrays); vocab-indexed f gathers then split
+    into two 128-aligned lane tiles selected by v >= 128 (take_f).
+
+    Exactness notes: grid pads still rank strictly below real
+    candidates; the exact-tie path ranks equals in LEX (w, v) order,
+    which in packed layout is h-major (see _sel_exact); the bitonic
+    payload carries the lex index w*LEXS+v so slot order (and hence
+    backpointers and dead-slot contents) matches lax.top_k exactly.
     """
-    Ng = Wg * VP
-    Cg = Wg
+    assert VP % P == 0 and Wg % P == 0
+    assert VPX in (VP, 2 * VP)
+    assert VPX == VP or P == 1
+    Vpk = VP // P
+    Rg = Wg // P
+    assert Rg % 8 == 0, "sublane slices need 8-aligned Rg"
+    Ng = Rg * VPX
+    Cg = Ng // 128
+    assert Cg <= S
+    lexshift = int(np.log2(VPX)) if P == 1 else 7
+
+    if VPX == VP:
+        def take_f(f, idx):
+            return _take1(f, idx)
+    else:
+        f_lo = f[:, :VP]            # 128-aligned lane-tile slices
+        f_hi = f[:, VP:VPX]
+
+        def take_f(_f, idx):
+            lo = _take1(f_lo, idx & (VP - 1))
+            hi = _take1(f_hi, idx & (VP - 1))
+            return jnp.where(idx >= VP, hi, lo)
 
     def rows(x2):
-        """[Bt, S] lane-array -> [Bt, Wg, 1] grid-row column."""
+        """[Bt, S] lane-array -> [Bt, Wg, 1] grid-row column (full
+        unpacked row axis — used by the match/exclusion stages)."""
         return jnp.expand_dims(x2, 2)[:, :Wg]
+
+    def rows_h(x2, h):
+        """[Bt, S] -> [Bt, Rg, 1] column of beam rows h*Rg..(h+1)*Rg."""
+        return jnp.expand_dims(x2, 2)[:, h * Rg:(h + 1) * Rg]
+
+    def selh(x2):
+        """Per-beam value broadcast into the packed grid: out[b, r, l]
+        = x2[b, r + Rg*(l // Vpk)]. For P == 1 this is the plain rows()
+        column (implicit broadcast, no select)."""
+        out = rows_h(x2, 0)
+        for h in range(1, P):
+            out = jnp.where(l3 >= h * Vpk, rows_h(x2, h), out)
+        return out
 
     # debug_stage: bring-up bisection knob — truncate the frame body
     # after stage N and emit a placeholder so nothing is DCE'd.
@@ -158,7 +210,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 
     total = _logaddexp(pb, pnb)
     last_clip = jnp.clip(last, 0, V - 1)
-    f_last = _take1(f, last_clip)
+    f_last = take_f(f, last_clip)
     if debug_stage <= -3:
         return _emit(_f2i(total + f_last))
 
@@ -166,14 +218,17 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # prefix held by stay slot w' (hash + length-offset identity).
     # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
     # compiler (probed) — conjunctions here are int32 products.
+    # The stay slot's OWN live bit is folded into has_match after the
+    # reduce (one [Bt, S] op instead of a [Bt, Wg, S] grid multiply);
+    # a dead stay may then produce spurious eqi hits, but has_match
+    # masks every downstream read of `match`.
     live_i = live_i32
     c1 = (rows(h1) == jnp.expand_dims(hp1, 1))
     c2 = (rows(h2) == jnp.expand_dims(hp2, 1))
     c3 = (rows(length) == jnp.expand_dims(length, 1) - 1)
     eqi = (c1.astype(jnp.int32) * c2.astype(jnp.int32) *
-           c3.astype(jnp.int32) * rows(live_i) *
-           jnp.expand_dims(live_i, 1))              # [Bt, Wg, S] 0/1
-    has_match = jnp.max(eqi, axis=1) > 0            # [Bt, S]
+           c3.astype(jnp.int32) * rows(live_i))     # [Bt, Wg, S] 0/1
+    has_match = (jnp.max(eqi, axis=1) * live_i) > 0  # [Bt, S]
     w_rev = (Wg - 1) - lax.broadcasted_iota(jnp.int32, (Bt, Wg, S), 1)
     match = (Wg - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
     match = jnp.where(has_match, match, 0)
@@ -185,7 +240,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         return _emit(match + last_m + _f2i(pb_m + pnb_m))
 
     # ---- stay candidates (blank column of the grid)
-    vlane = lax.broadcasted_iota(jnp.int32, (Bt, VP), 1)
+    vlane = lax.broadcasted_iota(jnp.int32, (Bt, VPX), 1)
     f_blank = jnp.sum(jnp.where(vlane == blank_id, f, 0.0), axis=1,
                       keepdims=True)                # [Bt, 1]
     stay_pb = total + f_blank
@@ -197,44 +252,58 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     if debug_stage <= -1:
         return _emit(_f2i(stay_score))
 
-    # ---- extend grid [Bt, Wg, VP]
-    v3 = lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 2)
-    w3 = lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 1)
-    is_rep = v3 == rows(last)
-    ext_pnb3 = jnp.where(is_rep, rows(pb),
-                         rows(total)) + jnp.expand_dims(f, 1)
+    # ---- extend grid [Bt, Rg, VPX] (P beam rows per 128-lane grid row)
+    l3 = lax.broadcasted_iota(jnp.int32, (Bt, Rg, VPX), 2)
+    r3 = lax.broadcasted_iota(jnp.int32, (Bt, Rg, VPX), 1)
+    if P == 1:
+        v3, w3 = l3, r3
+        f_pk = f
+    else:
+        v3 = l3 & (Vpk - 1)
+        w3 = r3 + Rg * (l3 >> int(np.log2(Vpk)))
+        # vocab lane fold: f value at lane l is f[l % Vpk] (same-shape
+        # axis-1 dynamic_gather — supported; a one-hot MXU matmul would
+        # round the f32 scores to bf16)
+        f_pk = _take1(f, lane & (Vpk - 1))
+    is_rep = v3 == selh(last)
+    ext_pnb3 = jnp.where(is_rep, selh(pb),
+                         selh(total)) + jnp.expand_dims(f_pk, 1)
 
     # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
-    # last_k == v (batched one-hot contraction over k on the MXU).
-    # i1 conjunctions via f32 products (see note above). k rows trim to
-    # Wg (slots >= W are dead, has_match == 0); the contraction's w free
-    # dim comes out at S lanes and is row-sliced to Wg.
-    hm_f = rows(has_match.astype(jnp.float32))
-    a_m = (rows(match) ==
-           lax.broadcasted_iota(jnp.int32, (Bt, Wg, S), 2)
-           ).astype(jnp.float32) * hm_f
-    a_v = (rows(last_clip) ==
-           lax.broadcasted_iota(jnp.int32, (Bt, Wg, VP), 2)
-           ).astype(jnp.float32) * hm_f
-    excl_i = (lax.dot_general(a_m, a_v, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-              > 0.5).astype(jnp.int32)[:, :Wg]
+    # last_k == v. Each stay slot k targets ONE packed grid cell
+    # (row r* = match_k - Rg*h*, lane l* = h**Vpk + last_k, where
+    # h* = match_k // Rg via compares — Rg is not a power of two); a
+    # two-level one-hot contraction over k on the MXU (0/1 values,
+    # exact) lands the exclusion mask directly in packed layout. An
+    # invalid slot (no match) gets r* = -1, which equals no row.
+    h_star = jnp.zeros_like(match)
+    for h in range(1, P):
+        h_star = h_star + (match >= h * Rg).astype(jnp.int32)
+    r_star = jnp.where(has_match, match - h_star * Rg, -1)    # [Bt, S]
+    l_star = h_star * Vpk + last_clip                         # [Bt, S]
+    a_row = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, S), 1) ==
+             jnp.expand_dims(r_star, 1)).astype(jnp.float32)
+    a_lane = (lax.broadcasted_iota(jnp.int32, (Bt, S, VPX), 2) ==
+              jnp.expand_dims(l_star, 2)).astype(jnp.float32)
+    excl_f = lax.dot_general(a_row, a_lane, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    excl_i = (excl_f > 0.5).astype(jnp.int32)      # [Bt, Rg, VPX]
     if debug_stage <= 0:
         return _emit(jnp.pad(jnp.sum(excl_i, axis=2) +
                              _f2i(jnp.sum(ext_pnb3, axis=2)),
-                             ((0, 0), (0, S - Wg))))
+                             ((0, 0), (0, S - Rg))))
 
     valid_ext = ((v3 != blank_id).astype(jnp.int32) *
-                 rows(live_i) * (1 - excl_i))
+                 selh(live_i) * (1 - excl_i))
     cand3 = jnp.where(valid_ext > 0, ext_pnb3, DEAD)
-    cand3 = jnp.where(v3 == blank_id, rows(stay_score), cand3)
+    cand3 = jnp.where(v3 == blank_id, selh(stay_score), cand3)
     # grid pads rank strictly below every XLA candidate
     in_grid = (v3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
     cand3 = jnp.where(in_grid > 0, cand3, PAD)
     cand = cand3.reshape(Bt, Ng)
     if debug_stage <= 1:
         return _emit(jnp.pad(_f2i(jnp.sum(cand3, axis=2)),
-                             ((0, 0), (0, S - Wg))))
+                             ((0, 0), (0, S - Rg))))
 
     # ---- per-chunk cumsums (Cg chunks of 128 lanes) via LT matmuls.
     # chunk-indexed lane arrays (cnt/off) are zero-padded to S=128 lanes
@@ -296,7 +365,22 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1,
                            keepdims=True)
         quota = (W - count_gt).astype(jnp.float32)
-        eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
+        if P == 1:
+            eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
+        else:
+            # lax.top_k admits threshold ties in LEX (w, v) order. In
+            # the packed layout lex order is h-MAJOR (w = r + Rg*h), so
+            # rank each lane-half separately (within a half, flat order
+            # IS (r, v) lex) and offset by the preceding halves' counts.
+            n1 = lax.broadcasted_iota(jnp.int32, (Bt, Ng), 1)
+            h_n = (n1 >> int(np.log2(Vpk))) & (P - 1)
+            eq_rank = jnp.zeros((Bt, Ng), jnp.float32)
+            base = jnp.zeros((Bt, 1), jnp.float32)
+            for h in range(P):
+                m_h = (mask_eq & (h_n == h)).astype(jnp.float32)
+                r_h, _, _, _ = two_level_rank(m_h)
+                eq_rank = jnp.where(h_n == h, r_h + base, eq_rank)
+                base = base + jnp.sum(m_h, axis=1, keepdims=True)
         return (mask_gt | (mask_eq & (eq_rank < quota))
                 ).astype(jnp.float32)
 
@@ -351,20 +435,33 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # which scrambles near-tie sort order — observed on hardware). The
     # recomputation uses the same expressions as the grid, so it is
     # bit-equal.
-    w_sel0 = idx_n >> 7                                     # VP == 128
-    v_sel0 = idx_n & 127
+    if P == 1:
+        w_sel0 = idx_n >> lexshift
+        v_sel0 = idx_n & (VPX - 1)
+    else:
+        # packed flat index: n = r*128 + h*Vpk + v -> w = r + Rg*h.
+        # Garbage slots (k >= ksel) can decode past Wg; clamp to keep
+        # every same-shape gather in lane range (their sort key is
+        # forced to INT_MIN below, so the values never matter).
+        w_sel0 = jnp.minimum(
+            (idx_n >> 7) + Rg * ((idx_n >> int(np.log2(Vpk))) & (P - 1)),
+            S - 1)
+        v_sel0 = idx_n & (Vpk - 1)
     live_sel = _take1(live_i, w_sel0)
-    exk = ((jnp.expand_dims(match, 1) == jnp.expand_dims(w_sel0, 2)
-            ).astype(jnp.int32) *
-           (jnp.expand_dims(last_clip, 1) == jnp.expand_dims(v_sel0, 2)
-            ).astype(jnp.int32) *
-           jnp.expand_dims(has_match.astype(jnp.int32), 1))
-    excl_sel = jnp.max(exk, axis=2)                         # [Bt, S]
+    # absorbed-exclusion of the selected cells via PAIR CODES: slot k
+    # excludes lex cell match_k*LEXS + last_k (injective, v < LEXS);
+    # one [Bt, S, S] compare + max replaces the three-compare/two-
+    # multiply exk grid of the same shape.
+    idx_lex = idx_n if P == 1 else ((w_sel0 << lexshift) | v_sel0)
+    p_code = jnp.where(has_match, (match << lexshift) | last_clip, -1)
+    excl_sel = jnp.max(
+        (jnp.expand_dims(p_code, 1) == jnp.expand_dims(idx_lex, 2)
+         ).astype(jnp.int32), axis=2)                       # [Bt, S]
     pb_s = _take1(pb, w_sel0)
     pnb_s = _take1(pnb, w_sel0)
     last_s = _take1(last, w_sel0)
     total_s = _logaddexp(pb_s, pnb_s)
-    f_vs = _take1(f, v_sel0)
+    f_vs = take_f(f, v_sel0)
     extv = jnp.where(v_sel0 == last_s, pb_s, total_s) + f_vs
     validv = ((v_sel0 != blank_id).astype(jnp.int32) * live_sel
               * (1 - excl_sel))
@@ -375,14 +472,16 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     if debug_stage <= 4:
         return _emit(idx_n + _f2i(top_val))
 
-    # ---- order slots like lax.top_k: desc score, asc candidate index
+    # ---- order slots like lax.top_k: desc score, asc candidate index.
+    # The tie-break payload is the LEX index w*LEXS+v (order-isomorphic
+    # to lax.top_k's w*V+v); for P == 1 that IS the flat grid index.
     key = _f2i(_monotone_bits(top_val) ^ jnp.uint32(0x80000000))
     key = jnp.where(k_iota < ksel, key, jnp.int32(-2147483647 - 1))
-    key_s, sidx = _bitonic_sort_desc(key, idx_n)
+    key_s, sidx = _bitonic_sort_desc(key, idx_lex)
     if debug_stage <= 5:
         return _emit(sidx + key_s)
-    w_sel = sidx >> 7                                   # VP == 128
-    v_sel = sidx & 127
+    w_sel = sidx >> lexshift
+    v_sel = sidx & ((1 << lexshift) - 1)
 
     # ---- state update (mirrors _make_frame_step_fast post-top_k block)
     pb_g = _take1(pb, w_sel)
@@ -395,7 +494,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     hp2_g = _take1(hp2, w_sel)
     stay_pb_g = _take1(stay_pb, w_sel)
     stay_pnb_g = _take1(stay_pnb, w_sel)
-    f_v = _take1(f, v_sel)
+    f_v = take_f(f, v_sel)
     # sorted top_val recovered from the sorted key (sort carries only
     # (key, idx); the key IS the monotone-bit image of the score)
     u_sorted = lax.bitcast_convert_type(key_s, jnp.uint32) \
@@ -432,8 +531,8 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 
 
 def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
-            blank_id: int, Wg: int, TBLK: int, T_real: int,
-            debug_stage: int = 99):
+            blank_id: int, Wg: int, P: int, VPX: int, TBLK: int,
+            T_real: int, debug_stage: int = 99):
     # TBLK frames per grid step: the frame body is unrolled in-kernel so
     # the fixed per-grid-step cost (DMA setup + launch) is amortized.
     # Tail frames beyond T_real compute on pad input but their state
@@ -448,8 +547,8 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     fields = tuple(st[i] for i in range(NF))
     for j in range(TBLK):
         ys_row, new_fields = _frame_math(
-            f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg,
-            debug_stage=debug_stage)
+            f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
+            VPX=VPX, debug_stage=debug_stage)
         ys_ref[j] = ys_row
         if new_fields is None:      # debug truncation: state untouched
             break
@@ -465,25 +564,53 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "W", "V", "blank_id", "block_b", "interpret", "debug_stage"))
+    "W", "V", "blank_id", "block_b", "interpret", "debug_stage", "pack",
+    "tblk"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
                         block_b: int = 16,
                         interpret: bool = False,
-                        debug_stage: int = 99) -> FusedDecodeOut:
+                        debug_stage: int = 99,
+                        pack: int = 0,
+                        tblk: int = 1) -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
 
-    log_probs: [T, B, V] f32 log-probabilities (V <= 128, W <= 128).
+    log_probs: [T, B, V] f32 log-probabilities. Supported shapes:
+    V <= 128 with W <= 128, or 128 < V <= 256 with W <= 64 (the
+    conformer vocab case — two vocab lane tiles, see _frame_math VPX).
     init_packed: [NF, B, 128] int32 packed initial beam state (see
     pack_state). Returns packed backpointers + final state, array-equal
     to the XLA matched-merge scan.
+
+    pack: beam rows per 128-lane grid row (see _frame_math). 0 = auto
+    (2 when V <= 64 — halves the VPU-bound flat phases); 1/2/4 force.
     """
     T, B, V_in = log_probs.shape
-    assert V_in == V and W <= S and V <= VP
-    Wg = max(8, -(-W // 8) * 8)          # trimmed grid rows
+    assert V_in == V and W <= S and V <= 2 * VP
+    VPX = VP if V <= VP else 2 * VP
+    if pack == 0:
+        # auto: pack only when the packed row axis keeps >= 8 sublanes
+        pack = 2 if (V <= VP // 2 and W > 8) else 1
+    if VPX > VP:
+        assert pack == 1, "vocab tiling (V > 128) excludes beam packing"
+        assert W <= 64, "V > 128 requires W <= 64 (chunk arrays cap at " \
+            "128 lanes: Cg = Wg*VPX/128 <= 128)"
+        # grid temporaries double with VPX: halve the batch tile to
+        # stay inside the 16 MB scoped-VMEM budget (block_b=32 OOMed
+        # at VPX=128; 16 at VPX=256 is the same footprint)
+        block_b = min(block_b, 8)
+    if interpret:
+        # CPU interpret mode (tests) executes the kernel body per grid
+        # step at full block size: don't pad tiny batches to block_b
+        # rows of wasted work
+        block_b = min(block_b, max(8, _round_up(B, 8)))
+    # trimmed grid rows, rounded so Rg = Wg/pack stays a multiple of 8
+    # (sublane slices at non-8-aligned offsets do not lower in Mosaic)
+    Wg = max(8 * pack, _round_up(W, 8 * pack))
+    assert pack in (1, 2, 4) and V <= VPX // pack and Wg <= S
     f = log_probs
-    if V < VP:
-        f = jnp.pad(f, ((0, 0), (0, 0), (0, VP - V)))
+    if V < VPX:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, VPX - V)))
     b_pad = (-B) % block_b
     if b_pad:
         f = jnp.pad(f, ((0, 0), (0, b_pad), (0, 0)))
@@ -491,9 +618,11 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                               ((0, 0), (0, b_pad), (0, 0)))
     Bp = B + b_pad
 
-    # frames per grid step (unrolled in-kernel); debug truncation needs
-    # the one-frame-per-step layout
-    TBLK = 1 if debug_stage < 99 else min(4, T)
+    # frames per grid step. tblk=1 measured FASTER than 4 on TPU v5e
+    # (103 vs 119 ms at flagship: the 4x-unrolled body hurts Mosaic
+    # scheduling more than the ~1.6 us/step fixed cost saves); the knob
+    # stays for future sweeps. Debug truncation needs one frame/step.
+    TBLK = 1 if debug_stage < 99 else min(tblk, T)
     t_pad = (-T) % TBLK
     if t_pad:
         f = jnp.pad(f, ((0, t_pad), (0, 0), (0, 0)))
@@ -502,11 +631,11 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     grid = (Bp // block_b, Tp // TBLK)
     ys, fin = pl.pallas_call(
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
-                          Wg=Wg, TBLK=TBLK, T_real=T,
+                          Wg=Wg, P=pack, VPX=VPX, TBLK=TBLK, T_real=T,
                           debug_stage=debug_stage),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TBLK, block_b, VP), lambda b, t: (t, b, 0),
+            pl.BlockSpec((TBLK, block_b, VPX), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
                          memory_space=pltpu.VMEM),

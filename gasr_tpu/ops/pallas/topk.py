@@ -1,10 +1,18 @@
-"""Exact, stable top-k as a Pallas TPU kernel.
+"""Exact, stable top-k built from Mosaic-lowerable primitives.
 
-`lax.top_k` costs ~1 ms/frame at the decoder's flagship shape
-([256, 4700], k=100) — the single largest piece of the beam-search
-frame. Mosaic lowers neither sort nor top_k nor cumsum nor scatter
-(probed; CLAUDE.md), so this kernel builds selection from primitives
-that DO lower:
+STATUS — kernel-internals library, NOT a standalone op: as a drop-in
+for `lax.top_k` this kernel LOSES (2.87 ms vs 0.77 ms at [256, 4700],
+k=100 on TPU v5e — the fori_loop one-hot compaction dominates). Its
+value is the machinery (`_monotone_bits`, bit-bisection threshold,
+LT-matmul cumsum, `_bitonic_sort_desc`), which ops/pallas/
+fused_decode.py composes INSIDE the whole-scan decode kernel, where
+lax.top_k does not exist at all and where the compaction is replaced
+by the cheaper two-level chunk inverse. The standalone pallas_topk
+entry point is kept because its tests pin the machinery bit-exact
+against lax.top_k (tests/test_pallas_topk.py).
+
+Mosaic lowers neither sort nor top_k nor cumsum nor scatter (probed;
+CLAUDE.md), so selection is built from primitives that DO lower:
 
   1. order-preserving float->uint32 bit map (lax.bitcast + mask flip);
   2. exact k-th-largest threshold via 32-step binary search on the bit

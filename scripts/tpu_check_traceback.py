@@ -84,4 +84,18 @@ for _ in range(iters):
 sync(out[0])
 dt = (time.perf_counter() - t0) / iters
 say(f"traceback_pallas alone: {dt*1e3:.2f} ms/iter")
+
+# ---- max_len sweep: every shape must COMPILE on hardware (the r1
+# official bench died on a traceback VMEM OOM at max_len=256; the
+# dispatcher now sizes BBLK from a static budget and falls back to the
+# XLA scan walk past it — max_len=4096 exercises the fallback)
+from gasr_tpu.decoder.beam_search import _traceback
+from gasr_tpu.ops.pallas.fused_decode import traceback_vmem_blk
+
+for Lx in (64, 256, 1024, 4096):
+    t0 = time.perf_counter()
+    tok, ts, sp = _traceback(packed_ys, final.length, Lx, impl="pallas")
+    sync(tok)
+    say(f"max_len={Lx}: BBLK={traceback_vmem_blk(Lx)} compiled+ran "
+        f"in {time.perf_counter()-t0:.1f}s")
 say("OK")

@@ -63,6 +63,35 @@ def test_pallas_tie_heavy():
     _assert_same(got, ref)
 
 
+def test_pallas_tie_heavy_packed():
+    # W >= 16 and V <= 64 engage the pack-2 grid layout; quantized
+    # log-probs force threshold ties, exercising the packed exact-tie
+    # path whose eq-rank must be LEX (w, v) — h-major — order, not the
+    # packed flat order (fused_decode._sel_exact)
+    rng = np.random.default_rng(17)
+    lp = _logits(rng, 12, 3, 11, quantize=2)
+    ref = ctc_beam_search(lp, beam_width=16, merge_impl="matched",
+                          max_len=14)
+    got = ctc_beam_search(lp, beam_width=16, merge_impl="pallas",
+                          max_len=14)
+    _assert_same(got, ref)
+
+
+def test_pallas_pack_forced_equivalence():
+    # pack=1 and pack=2 must produce ARRAY-IDENTICAL kernel outputs
+    from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
+                                                  pack_state)
+    from gasr_tpu.decoder.beam_search import _init_beam
+    rng = np.random.default_rng(23)
+    T, B, V, W = 9, 3, 21, 24
+    lp = _logits(rng, T, B, V)
+    init = pack_state(_init_beam(B, W, True))
+    outs = [fused_prefix_decode(lp, init, W=W, V=V, interpret=True,
+                                pack=p) for p in (1, 2)]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_uniform_ties():
     # all-equal frames: maximal degeneracy
     lp = jnp.full((6, 2, 7), -np.log(7.0), jnp.float32)
@@ -114,5 +143,35 @@ def test_pallas_rejects_unsupported():
         ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
                         lm_bias=jnp.zeros((6, 5)))
     with pytest.raises(ValueError):
-        ctc_beam_search(jnp.zeros((2, 1, 200), jnp.float32),
+        # V > 256 is out of kernel range entirely
+        ctc_beam_search(jnp.zeros((2, 1, 300), jnp.float32),
                         beam_width=3, merge_impl="pallas")
+    with pytest.raises(ValueError):
+        # 128 < V <= 256 requires W <= 64
+        ctc_beam_search(jnp.zeros((2, 1, 200), jnp.float32),
+                        beam_width=100, merge_impl="pallas")
+
+
+@pytest.mark.parametrize("W,V,T,B", [
+    (16, 129, 8, 2),      # conformer vocab: one past the 128-lane tile
+    (8, 256, 6, 2),       # full two-tile vocab width
+])
+def test_pallas_vocab_tiled(W, V, T, B):
+    # V > 128 rides two vocab lane tiles (VPX=256, take_f split gathers)
+    rng = np.random.default_rng(hash(("vt", W, V)) % (2**32))
+    lp = _logits(rng, T, B, V)
+    ref = ctc_beam_search(lp, beam_width=W, merge_impl="matched",
+                          max_len=12)
+    got = ctc_beam_search(lp, beam_width=W, merge_impl="pallas",
+                          max_len=12)
+    _assert_same(got, ref)
+
+
+def test_pallas_vocab_tiled_tie_heavy():
+    rng = np.random.default_rng(31)
+    lp = _logits(rng, 8, 2, 140, quantize=2)
+    ref = ctc_beam_search(lp, beam_width=12, merge_impl="matched",
+                          max_len=12)
+    got = ctc_beam_search(lp, beam_width=12, merge_impl="pallas",
+                          max_len=12)
+    _assert_same(got, ref)
