@@ -217,21 +217,25 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # ---- parent match eq[b, w, w']: candidate parent w extends into the
     # prefix held by stay slot w' (hash + length-offset identity).
     # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
-    # compiler (probed) — conjunctions here are int32 products.
+    # compiler (probed) — the three equality tests are combined as
+    # OR-of-differences (zero iff all equal; int32 wraparound preserves
+    # equality exactly), and the parent's live bit + first-true argmax
+    # are folded into ONE masked max-reduce of (Wg - w)·live: 8 grid
+    # passes where the compare-product form took ~12.
     # The stay slot's OWN live bit is folded into has_match after the
     # reduce (one [Bt, S] op instead of a [Bt, Wg, S] grid multiply);
     # a dead stay may then produce spurious eqi hits, but has_match
     # masks every downstream read of `match`.
     live_i = live_i32
-    c1 = (rows(h1) == jnp.expand_dims(hp1, 1))
-    c2 = (rows(h2) == jnp.expand_dims(hp2, 1))
-    c3 = (rows(length) == jnp.expand_dims(length, 1) - 1)
-    eqi = (c1.astype(jnp.int32) * c2.astype(jnp.int32) *
-           c3.astype(jnp.int32) * rows(live_i))     # [Bt, Wg, S] 0/1
-    has_match = (jnp.max(eqi, axis=1) * live_i) > 0  # [Bt, S]
-    w_rev = (Wg - 1) - lax.broadcasted_iota(jnp.int32, (Bt, Wg, S), 1)
-    match = (Wg - 1) - jnp.max(eqi * w_rev, axis=1)  # first-true argmax
-    match = jnp.where(has_match, match, 0)
+    d1 = rows(h1) - jnp.expand_dims(hp1, 1)
+    d2 = rows(h2) - jnp.expand_dims(hp2, 1)
+    d3 = rows(length) - (jnp.expand_dims(length, 1) - 1)
+    eqb = (d1 | d2 | d3) == 0                       # [Bt, Wg, S] i1
+    # rev-rank of parent w, zeroed for dead parents: [Bt, Wg, 1] column
+    wrev1 = rows((Wg - lane) * live_i)
+    m = jnp.max(jnp.where(eqb, wrev1, 0), axis=1)   # [Bt, S]
+    has_match = (m * live_i) > 0                    # [Bt, S]
+    match = jnp.where(has_match, Wg - m, 0)
 
     pb_m = _take1(pb, match)
     pnb_m = _take1(pnb, match)
@@ -395,12 +399,15 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         return _emit(_f2i(off_c))
 
     # ---- slot k -> flat candidate index, two-level inverse
-    # owning chunk: last c with off_c <= k (empty chunks tie-through;
-    # pad chunks carry off == total, so valid slots k < W never pick
-    # them and garbage slots are masked by the sort key)
+    # owning chunk: last c with off_c <= k (empty chunks tie-through).
+    # The chunk axis is trimmed to the REAL chunk count Cg (sublane
+    # axis, so the trim is real VPU savings — 56 vs 128 at the flagship
+    # pack=2 shape): a garbage slot k >= ksel then lands in chunk Cg-1
+    # with a local rank past that chunk's count, finds no hit, and its
+    # sort key is forced to INT_MIN below anyway.
     k_iota = lane                                       # [Bt, S] slot ids
-    cmp = (jnp.expand_dims(off_c, 2) <=
-           jnp.expand_dims(k_iota.astype(jnp.float32), 1))   # [Bt, S, S]
+    cmp = (jnp.expand_dims(off_c, 2)[:, :Cg] <=
+           jnp.expand_dims(k_iota.astype(jnp.float32), 1))   # [Bt, Cg, S]
     cos = jnp.sum(cmp.astype(jnp.int32), axis=1) - 1    # [Bt, S]
     off_sel = _take1(off_c, cos)
     lk = k_iota.astype(jnp.float32) - off_sel           # local rank
@@ -410,14 +417,11 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # aborts the Mosaic compiler — probed). Exact: each output element
     # is 1.0 * value + zeros.
     oh_cos = (jnp.expand_dims(cos, 2) ==
-              lax.broadcasted_iota(jnp.int32, (Bt, S, S), 2)
-              ).astype(jnp.float32)                 # [Bt, S(k), S(c)]
+              lax.broadcasted_iota(jnp.int32, (Bt, S, Cg), 2)
+              ).astype(jnp.float32)                 # [Bt, S(k), Cg(c)]
     # mask unselected lanes arithmetically (avoids reshaping an i1 mask)
     sel3f = sel_f.reshape(Bt, Cg, 128)
     lpos_m = lpos3 + (1.0 - sel3f) * jnp.float32(1e6)
-    if Cg < S:                        # pad chunk rows for the matmul
-        lpos_m = jnp.pad(lpos_m, ((0, 0), (0, S - Cg), (0, 0)),
-                         constant_values=1e6)
 
     def chunk_rows(rows3):
         return lax.dot_general(oh_cos, rows3, (((2,), (1,)), ((0,), (0,))),
@@ -454,9 +458,11 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # multiply exk grid of the same shape.
     idx_lex = idx_n if P == 1 else ((w_sel0 << lexshift) | v_sel0)
     p_code = jnp.where(has_match, (match << lexshift) | last_clip, -1)
+    # stay axis on sublanes, trimmed to Wg (stay slots >= W are dead,
+    # p_code == -1): [Bt, Wg, S] instead of [Bt, S, S]
     excl_sel = jnp.max(
-        (jnp.expand_dims(p_code, 1) == jnp.expand_dims(idx_lex, 2)
-         ).astype(jnp.int32), axis=2)                       # [Bt, S]
+        (jnp.expand_dims(p_code, 2)[:, :Wg] == jnp.expand_dims(idx_lex, 1)
+         ).astype(jnp.int32), axis=1)                       # [Bt, S]
     pb_s = _take1(pb, w_sel0)
     pnb_s = _take1(pnb, w_sel0)
     last_s = _take1(last, w_sel0)
