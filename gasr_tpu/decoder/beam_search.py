@@ -464,9 +464,19 @@ def _traceback(packed_ys, final_lengths, L,
         # shape. The kernel commits emissions in-kernel and returns the
         # final token matrices; positions not written by this walk are
         # -1, so the streaming base overlay is a select.
+        #
+        # L trim: a prefix appends at most one token per frame, so after
+        # `t_offset + Tc` total frames every emit position is
+        # < t_offset + Tc. When the frame count is static (the batch
+        # path: t_offset == 0) the kernel runs at L_eff = min(L, frames)
+        # and the output is -1-padded back to L — at the flagship bench
+        # shape (T=200, max_len=256) that cuts the persistent VMEM
+        # token blocks and the per-frame select passes by ~22%.
+        # Streaming passes a traced t_offset, so no static bound exists.
         from gasr_tpu.ops.pallas.fused_decode import (traceback_pallas,
                                                       traceback_vmem_blk)
-        if traceback_vmem_blk(L) < 8:
+        L_eff = min(L, t_offset + Tc) if isinstance(t_offset, int) else L
+        if traceback_vmem_blk(L_eff) < 8:
             # max_len too large for the kernel's scoped-VMEM budget:
             # the XLA scan walk below handles any L (round-1 bench
             # lesson — never let a shape turn into a compile error)
@@ -474,7 +484,11 @@ def _traceback(packed_ys, final_lengths, L,
     if impl == "pallas":
         interpret = jax.default_backend() != "tpu"
         k_tok, k_t, start_parent = traceback_pallas(
-            packed_ys, final_lengths, L, interpret=interpret)
+            packed_ys, final_lengths, L_eff, interpret=interpret)
+        if L_eff < L:
+            pad = ((0, 0), (0, 0), (0, L - L_eff))
+            k_tok = jnp.pad(k_tok, pad, constant_values=-1)
+            k_t = jnp.pad(k_t, pad, constant_values=-1)
         k_t = jnp.where(k_t >= 0, k_t + t_offset, -1)
         if base_tokens is None:
             return k_tok, k_t, start_parent

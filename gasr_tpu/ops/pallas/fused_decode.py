@@ -574,7 +574,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     "tblk"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
-                        block_b: int = 16,
+                        block_b: int = 24,
                         interpret: bool = False,
                         debug_stage: int = 99,
                         pack: int = 0,
