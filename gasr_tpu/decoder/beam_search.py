@@ -302,10 +302,18 @@ def _make_frame_step_fast(B: int, W: int, V: int, blank_id: int,
         f_last = jnp.take_along_axis(f, last_clip, axis=1)   # [B, W]
 
         # ---- parent match: w (axis 1) is candidate parent, w' (axis 2)
-        # the stay slot whose prefix = prefix_w + last_w'
+        # the stay slot whose prefix = prefix_w + last_w'. The length
+        # off-by-one test is FOLDED into the h2 compare (k2 = 31*h2 +
+        # length, mod 2^32): equality of (h1, k2) pairs is the same
+        # identity up to hash collisions, which this merge already
+        # accepts on (h1, h2) — and the Pallas kernel (fused_decode
+        # _frame_math) computes the identical folded predicate, so the
+        # two paths stay bit-equal by construction.
+        k2 = state.h2 * jnp.uint32(31) + state.length.astype(jnp.uint32)
+        kp2 = (state.hp2 * jnp.uint32(31) +
+               (state.length - 1).astype(jnp.uint32))
         eq = ((state.h1[:, :, None] == state.hp1[:, None, :]) &
-              (state.h2[:, :, None] == state.hp2[:, None, :]) &
-              (state.length[:, :, None] == state.length[:, None, :] - 1) &
+              (k2[:, :, None] == kp2[:, None, :]) &
               live[:, :, None] & live[:, None, :])     # [B, W, W']
         has_match = eq.any(axis=1)                     # [B, W']
         match = jnp.argmax(eq, axis=1).astype(jnp.int32)

@@ -116,7 +116,8 @@ def _take1(x, idx):
 
 
 def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
-                P: int = 1, VPX: int = VP, debug_stage: int = 99):
+                P: int = 1, VPX: int = VP, debug_stage: int = 99,
+                sel_mode: str = "auto"):
     """One beam-search frame transition on in-register field values.
 
     fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
@@ -217,20 +218,27 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # ---- parent match eq[b, w, w']: candidate parent w extends into the
     # prefix held by stay slot w' (hash + length-offset identity).
     # NOTE: 3D boolean & with broadcast i1 operands crashes the Mosaic
-    # compiler (probed) — the three equality tests are combined as
+    # compiler (probed) — the equality tests are combined as
     # OR-of-differences (zero iff all equal; int32 wraparound preserves
     # equality exactly), and the parent's live bit + first-true argmax
-    # are folded into ONE masked max-reduce of (Wg - w)·live: 8 grid
-    # passes where the compare-product form took ~12.
+    # are folded into ONE masked max-reduce of (Wg - w)·live.
+    # The length off-by-one test is FOLDED into the h2 lane as
+    # k2 = 31*h2 + length (cheap [Bt, S] precompute): equality of
+    # (h1, k2) is the same identity up to hash collisions, which the
+    # matched merge already accepts on (h1, h2) — and
+    # _make_frame_step_fast computes the identical folded predicate,
+    # so kernel and XLA path stay bit-equal. Saves 2 of the 8 [Bt, Wg,
+    # S] grid passes the three-way compare needed.
     # The stay slot's OWN live bit is folded into has_match after the
     # reduce (one [Bt, S] op instead of a [Bt, Wg, S] grid multiply);
     # a dead stay may then produce spurious eqi hits, but has_match
     # masks every downstream read of `match`.
     live_i = live_i32
+    k2 = h2 * 31 + length                           # int32 == uint32 bits
+    kp2 = hp2 * 31 + (length - 1)
     d1 = rows(h1) - jnp.expand_dims(hp1, 1)
-    d2 = rows(h2) - jnp.expand_dims(hp2, 1)
-    d3 = rows(length) - (jnp.expand_dims(length, 1) - 1)
-    eqb = (d1 | d2 | d3) == 0                       # [Bt, Wg, S] i1
+    d2 = rows(k2) - jnp.expand_dims(kp2, 1)
+    eqb = (d1 | d2) == 0                            # [Bt, Wg, S] i1
     # rev-rank of parent w, zeroed for dead parents: [Bt, Wg, 1] column
     wrev1 = rows((Wg - lane) * live_i)
     m = jnp.max(jnp.where(eqb, wrev1, 0), axis=1)   # [Bt, S]
@@ -304,7 +312,11 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # grid pads rank strictly below every XLA candidate
     in_grid = (v3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
     cand3 = jnp.where(in_grid > 0, cand3, PAD)
-    cand = cand3.reshape(Bt, Ng)
+    # chunked canonical layout [Bt, Cg, 128]: identity when VPX == 128
+    # (Cg == Rg); a one-time lane-tile split for VPX == 256. All
+    # selection work stays 3D — the former [Bt, Ng] flat round-trips
+    # were pure relayouts (measured ~2 ms/200 frames at flagship).
+    c3 = cand3.reshape(Bt, Cg, 128)
     if debug_stage <= 1:
         return _emit(jnp.pad(_f2i(jnp.sum(cand3, axis=2)),
                              ((0, 0), (0, S - Rg))))
@@ -318,10 +330,10 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     slt = (lax.broadcasted_iota(jnp.int32, (S, S), 0) <
            lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(jnp.float32)
 
-    def two_level_rank(mask_f):
-        """Global exclusive rank + per-chunk bits of a [Bt, Ng] 0/1
-        mask. cnt/off returned at S lanes (pad chunks count 0)."""
-        m3 = mask_f.reshape(Bt, Cg, 128)
+    def two_level_rank(m3):
+        """Exclusive rank (flat candidate order) + per-chunk bits of a
+        [Bt, Cg, 128] 0/1 mask. cnt/off returned at S lanes (pad chunks
+        count 0)."""
         within = lax.dot_general(m3, lt, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         within_p = within
@@ -332,9 +344,8 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         cnt_c = within_p[:, :, 127:128][:, :, 0]        # [Bt, S]
         off_c = lax.dot_general(cnt_c, slt, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        excl_rank = (within - m3 +
-                     jnp.expand_dims(off_c, 2)[:, :Cg]).reshape(Bt, Ng)
-        return excl_rank, within - m3, cnt_c, off_c
+        rank3 = within - m3 + jnp.expand_dims(off_c, 2)[:, :Cg]
+        return rank3, within - m3, cnt_c, off_c
 
     # ---- top-W selection: hybrid coarse/exact bit bisection.
     # 16 coarse steps confine the threshold to the top 16 key bits. If
@@ -345,15 +356,18 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # bisection passes AND the eq-rank cumsum. Heavy-tie frames (DEAD-
     # dominated early frames, degenerate inputs) take 16 more steps +
     # the index-order tie quota (lax.top_k's stable tie-break).
-    u = _monotone_bits(cand)
+    u3 = _monotone_bits(c3)
+
+    def count_ge(t):                                # t [Bt, 1] -> [Bt, 1]
+        ge = (u3 >= jnp.expand_dims(t, 2)).astype(jnp.int32)
+        return jnp.sum(jnp.sum(ge, axis=1), axis=1, keepdims=True)
+
     split = 32 - COARSE_BITS
     th = jnp.zeros((Bt, 1), jnp.uint32)
     for bit in range(31, split - 1, -1):
         trial = th | (jnp.uint32(1) << bit)
-        cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
-                      keepdims=True)
-        th = jnp.where(cnt >= W, trial, th)
-    cnt16 = jnp.sum((u >= th).astype(jnp.int32), axis=1, keepdims=True)
+        th = jnp.where(count_ge(trial) >= W, trial, th)
+    cnt16 = count_ge(th)
     go_exact = jnp.max(cnt16) > S
     if debug_stage <= 2:
         return _emit(jnp.broadcast_to(cnt16, (Bt, S)))
@@ -361,14 +375,13 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     def _sel_exact(th):
         for bit in range(split - 1, -1, -1):
             trial = th | (jnp.uint32(1) << bit)
-            cnt = jnp.sum((u >= trial).astype(jnp.int32), axis=1,
-                          keepdims=True)
-            th = jnp.where(cnt >= W, trial, th)
-        mask_gt = u > th
-        mask_eq = u == th
-        count_gt = jnp.sum(mask_gt.astype(jnp.int32), axis=1,
-                           keepdims=True)
-        quota = (W - count_gt).astype(jnp.float32)
+            th = jnp.where(count_ge(trial) >= W, trial, th)
+        th3 = jnp.expand_dims(th, 2)
+        mask_gt = u3 > th3
+        mask_eq = u3 == th3
+        count_gt = jnp.sum(jnp.sum(mask_gt.astype(jnp.int32), axis=1),
+                           axis=1, keepdims=True)
+        quota3 = jnp.expand_dims((W - count_gt).astype(jnp.float32), 2)
         if P == 1:
             eq_rank, _, _, _ = two_level_rank(mask_eq.astype(jnp.float32))
         else:
@@ -376,25 +389,39 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
             # the packed layout lex order is h-MAJOR (w = r + Rg*h), so
             # rank each lane-half separately (within a half, flat order
             # IS (r, v) lex) and offset by the preceding halves' counts.
-            n1 = lax.broadcasted_iota(jnp.int32, (Bt, Ng), 1)
-            h_n = (n1 >> int(np.log2(Vpk))) & (P - 1)
-            eq_rank = jnp.zeros((Bt, Ng), jnp.float32)
-            base = jnp.zeros((Bt, 1), jnp.float32)
+            # P > 1 implies VPX == 128, so chunk == grid row and the
+            # half id is a pure lane predicate.
+            j3 = lax.broadcasted_iota(jnp.int32, (Bt, Cg, 128), 2)
+            h_n = (j3 >> int(np.log2(Vpk))) & (P - 1)
+            eq_rank = jnp.zeros((Bt, Cg, 128), jnp.float32)
+            base = jnp.zeros((Bt, 1, 1), jnp.float32)
             for h in range(P):
                 m_h = (mask_eq & (h_n == h)).astype(jnp.float32)
                 r_h, _, _, _ = two_level_rank(m_h)
                 eq_rank = jnp.where(h_n == h, r_h + base, eq_rank)
-                base = base + jnp.sum(m_h, axis=1, keepdims=True)
-        return (mask_gt | (mask_eq & (eq_rank < quota))
+                base = base + jnp.sum(jnp.sum(m_h, axis=1), axis=1,
+                                      keepdims=True)[:, :, None]
+        return (mask_gt | (mask_eq & (eq_rank < quota3))
                 ).astype(jnp.float32)
 
     def _sel_slack(th):
-        return (u >= th).astype(jnp.float32)
+        return (u3 >= jnp.expand_dims(th, 2)).astype(jnp.float32)
 
-    sel_f = lax.cond(go_exact, _sel_exact, _sel_slack, th)
-    # slots beyond the selected count are garbage (W in exact mode)
-    ksel = jnp.where(go_exact, jnp.full_like(cnt16, W), cnt16)
-    _, lpos3, cnt_c, off_c = two_level_rank(sel_f)      # per-chunk local pos
+    # sel_mode: "auto" branches per frame; "exact" always takes the
+    # full-bisection tie-quota path (always correct, slower); "slack"
+    # skips it entirely (TIMING PROBE ONLY — wrong on heavy-tie frames
+    # where cnt16 > S, e.g. the first frames of a fresh decode).
+    if sel_mode == "exact":
+        sel_f3 = _sel_exact(th)
+        ksel = jnp.full_like(cnt16, W)
+    elif sel_mode == "slack":
+        sel_f3 = _sel_slack(th)
+        ksel = cnt16
+    else:
+        sel_f3 = lax.cond(go_exact, _sel_exact, _sel_slack, th)
+        # slots beyond the selected count are garbage (W in exact mode)
+        ksel = jnp.where(go_exact, jnp.full_like(cnt16, W), cnt16)
+    _, lpos3, cnt_c, off_c = two_level_rank(sel_f3)     # per-chunk local pos
     if debug_stage <= 3:
         return _emit(_f2i(off_c))
 
@@ -420,8 +447,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
               lax.broadcasted_iota(jnp.int32, (Bt, S, Cg), 2)
               ).astype(jnp.float32)                 # [Bt, S(k), Cg(c)]
     # mask unselected lanes arithmetically (avoids reshaping an i1 mask)
-    sel3f = sel_f.reshape(Bt, Cg, 128)
-    lpos_m = lpos3 + (1.0 - sel3f) * jnp.float32(1e6)
+    lpos_m = lpos3 + (1.0 - sel_f3) * jnp.float32(1e6)
 
     def chunk_rows(rows3):
         return lax.dot_general(oh_cos, rows3, (((2,), (1,)), ((0,), (0,))),
@@ -538,7 +564,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 
 def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
             blank_id: int, Wg: int, P: int, VPX: int, TBLK: int,
-            T_real: int, debug_stage: int = 99):
+            T_real: int, debug_stage: int = 99, sel_mode: str = "auto"):
     # TBLK frames per grid step: the frame body is unrolled in-kernel so
     # the fixed per-grid-step cost (DMA setup + launch) is amortized.
     # Tail frames beyond T_real compute on pad input but their state
@@ -554,7 +580,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     for j in range(TBLK):
         ys_row, new_fields = _frame_math(
             f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
-            VPX=VPX, debug_stage=debug_stage)
+            VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode)
         ys_ref[j] = ys_row
         if new_fields is None:      # debug truncation: state untouched
             break
@@ -571,14 +597,15 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "V", "blank_id", "block_b", "interpret", "debug_stage", "pack",
-    "tblk"))
+    "tblk", "sel_mode"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
                         block_b: int = 24,
                         interpret: bool = False,
                         debug_stage: int = 99,
                         pack: int = 0,
-                        tblk: int = 1) -> FusedDecodeOut:
+                        tblk: int = 1,
+                        sel_mode: str = "auto") -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
 
     log_probs: [T, B, V] f32 log-probabilities. Supported shapes:
@@ -638,7 +665,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     ys, fin = pl.pallas_call(
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
                           Wg=Wg, P=pack, VPX=VPX, TBLK=TBLK, T_real=T,
-                          debug_stage=debug_stage),
+                          debug_stage=debug_stage, sel_mode=sel_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TBLK, block_b, VPX), lambda b, t: (t, b, 0),
