@@ -184,9 +184,17 @@ def run_report(args):
             "audio_s_per_s": round(audio / r["overall_s"], 1),
         })
     dev = str(jax.devices()[0])
+    try:
+        import subprocess
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        rev = "unknown"
     lines = [
         "# Benchmark results (per-iteration means)", "",
-        f"Device: {dev}", "",
+        f"Device: {dev}  |  commit: {rev}", "",
         "| preset | model | B | T | beam | fwd ms | decode ms | audio-s/s |",
         "|---|---|---|---|---|---|---|---|",
     ]
