@@ -589,7 +589,14 @@ def ctc_beam_search(
     "reference"), "matched", "sort" (the general path, also the
     cross-check oracle for the matched path), or "pallas" (the fused
     whole-scan TPU kernel, array-equal to "matched"; prefix/log only,
-    W <= 128, V <= 128).
+    W <= 128 with V <= 128 or W <= 64 with V <= 256).
+
+    lm_bias: optional [V+1, V] shallow-fusion table added on every
+    append, conditioned on the previous character (row 0 = start).
+    Applied at bfloat16 resolution on every path — the fused kernel
+    reads the table through an MXU one-hot contraction (bf16 by
+    construction) and the XLA path quantizes identically so results
+    stay bit-equal across implementations.
     """
     if algorithm not in ("prefix", "reference"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -620,11 +627,21 @@ def ctc_beam_search(
         log_probs = jnp.where(pad[:, :, None],
                               onehot_blank[None, None, :], log_probs)
 
+    if lm_bias is not None:
+        # bf16 resolution on the LM bias, identically on BOTH decode
+        # paths: the fused kernel reads the table through an MXU
+        # one-hot contraction (bf16 inputs by construction), so the
+        # XLA path quantizes to match and the two stay bit-equal.
+        # `+ 0.0` canonicalizes -0.0 -> +0.0 (the kernel's zero-padded
+        # half-table sum would otherwise flip a -0.0's sign).
+        lm_bias = lm_bias.astype(jnp.bfloat16).astype(jnp.float32) + 0.0
+
     init = _init_beam(B, W, log_domain)
     tb_impl = "scan"
     if _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                    lm_bias):
-        final, packed_ys = _pallas_scan(log_probs, init, W, V, blank_id)
+        final, packed_ys = _pallas_scan(log_probs, init, W, V, blank_id,
+                                        lm_bias=lm_bias)
         tb_impl = "pallas"
     else:
         frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
@@ -652,8 +669,12 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
     "auto" picks it on TPU for large candidate grids, where it beats
     the XLA matched-merge scan (measured 1.9x at W=100, V=47)."""
     shape_ok = (W <= 128 and V <= 128) or (W <= 64 and V <= 256)
+    # LM shallow fusion rides the kernel when the [V+1, V] table fits
+    # the 128-row one-hot contraction (V <= 127); the V > 128
+    # vocab-tiling case stays on the XLA matched path.
+    lm_ok = lm_bias is None or V <= 127
     eligible = (algorithm == "prefix" and log_domain
-                and topk_impl == "exact" and lm_bias is None
+                and topk_impl == "exact" and lm_ok
                 and shape_ok)
     if merge_impl == "auto":
         # measured TPU crossover (post row-trim): W=32,V=29 (W*V=928)
@@ -668,9 +689,9 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                          "prefix algorithm")
     if topk_impl != "exact":
         raise ValueError("merge_impl='pallas' is exact-top-k only")
-    if lm_bias is not None:
-        raise ValueError("merge_impl='pallas' does not support lm_bias "
-                         "yet; use merge_impl='matched'")
+    if not lm_ok:
+        raise ValueError("merge_impl='pallas' supports lm_bias only "
+                         "for V <= 127; use merge_impl='matched'")
     if not shape_ok:
         raise ValueError("merge_impl='pallas' requires W <= 128 and "
                          "V <= 128, or W <= 64 and V <= 256")
@@ -678,7 +699,7 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
 
 
 def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
-                 blank_id: int):
+                 blank_id: int, lm_bias=None):
     """Fused-kernel replacement for the matched-merge lax.scan; returns
     (final _BeamState, packed_ys) array-equal to the XLA path."""
     from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
@@ -686,7 +707,8 @@ def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
     B = init.s1.shape[0]
     interpret = jax.default_backend() != "tpu"
     out = fused_prefix_decode(log_probs, pack_state(init), W=W, V=V,
-                              blank_id=blank_id, interpret=interpret)
+                              blank_id=blank_id, interpret=interpret,
+                              lm_q=lm_bias)
     final = _BeamState(
         h1=out.h1, h2=out.h2, hp1=out.hp1, hp2=out.hp2,
         last=out.last, length=out.length,
@@ -736,28 +758,33 @@ def streaming_step(
     prob_domain: bool = False,
     is_final: bool = False,
     merge_impl: str = "auto",
+    lm_bias: Optional[jax.Array] = None,
 ) -> Tuple[StreamingState, BeamSearchResult]:
     """Advance the decode by one chunk; T is unbounded across calls.
 
     Beam state (hashes, scores) and materialized prefixes carry over;
     per-chunk work is identical to the batch path. `is_final` applies the
     reference algorithm's trailing-blank strip on the chunk's last frame.
-    Returns the updated state and the current-best result snapshot.
+    lm_bias follows the batch-path semantics (bf16 resolution, see
+    ctc_beam_search). Returns the updated state and the current-best
+    result snapshot.
     """
     log_domain = not prob_domain
     Tc, B, V = chunk_log_probs.shape
     W = state.beam.s1.shape[1]
     L = state.tokens.shape[2]
+    if lm_bias is not None:
+        lm_bias = lm_bias.astype(jnp.bfloat16).astype(jnp.float32) + 0.0
 
     tb_impl = "scan"
     if _use_pallas(merge_impl, algorithm, log_domain, W, V, "exact",
-                   None):
+                   lm_bias):
         final, packed_ys = _pallas_scan(chunk_log_probs, state.beam,
-                                        W, V, blank_id)
+                                        W, V, blank_id, lm_bias=lm_bias)
         tb_impl = "pallas"
     else:
         frame_step = _pick_step(B, W, V, blank_id, algorithm, log_domain,
-                                merge_impl)
+                                merge_impl, lm_bias=lm_bias)
         is_last_arr = jnp.zeros((Tc,), jnp.bool_)
         if algorithm == "reference" and is_final:
             is_last_arr = is_last_arr.at[Tc - 1].set(True)

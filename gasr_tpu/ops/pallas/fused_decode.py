@@ -117,7 +117,7 @@ def _take1(x, idx):
 
 def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
                 P: int = 1, VPX: int = VP, debug_stage: int = 99,
-                sel_mode: str = "auto"):
+                sel_mode: str = "auto", lm=None):
     """One beam-search frame transition on in-register field values.
 
     fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
@@ -280,6 +280,25 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     is_rep = v3 == selh(last)
     ext_pnb3 = jnp.where(is_rep, selh(pb),
                          selh(total)) + jnp.expand_dims(f_pk, 1)
+    if lm is not None:
+        # shallow-fusion LM bias: + lm[last_w + 1, v] on every extend.
+        # lm holds P tables [VP, VPX]: table h carries the bias values
+        # in lane half h (zeros elsewhere), so a per-half one-hot row
+        # lookup on the MXU lands the packed-layout contribution
+        # directly; summing halves adds exact +0.0 outside each half.
+        # Table values are bf16-quantized AND -0.0-sanitized by the
+        # caller — the MXU one-hot matmul reads bf16, and the XLA
+        # matched path applies the identically-quantized table, so the
+        # two paths stay bit-equal (see beam_search.ctc_beam_search).
+        lmi = last + 1                                  # [Bt, S] in [0, V]
+        contrib = None
+        for h in range(P):
+            a_h = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, VP), 2) ==
+                   rows_h(lmi, h)).astype(jnp.float32)
+            c_h = lax.dot_general(a_h, lm[h], (((2,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            contrib = c_h if contrib is None else contrib + c_h
+        ext_pnb3 = ext_pnb3 + contrib
 
     # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
     # last_k == v. Each stay slot k targets ONE packed grid cell
@@ -495,6 +514,19 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     total_s = _logaddexp(pb_s, pnb_s)
     f_vs = take_f(f, v_sel0)
     extv = jnp.where(v_sel0 == last_s, pb_s, total_s) + f_vs
+    if lm is not None:
+        # same bias value for the selected cells: row lookup via
+        # one-hot matmul on table 0 (unshifted: lane == v, and
+        # v_sel0 < Vpk == table-0's value lanes), lane pick via
+        # one-hot multiply+sum (batched dot_general with 2D lhs trips
+        # an MLIR bug — CLAUDE.md).
+        b1 = (lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2) ==
+              jnp.expand_dims(last_s + 1, 2)).astype(jnp.float32)
+        rows_v = lax.dot_general(b1, lm[0], (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ohv = (lax.broadcasted_iota(jnp.int32, (Bt, S, VPX), 2) ==
+               jnp.expand_dims(v_sel0, 2)).astype(jnp.float32)
+        extv = extv + jnp.sum(rows_v * ohv, axis=2)
     validv = ((v_sel0 != blank_id).astype(jnp.int32) * live_sel
               * (1 - excl_sel))
     top_val = jnp.where(validv > 0, extv, DEAD)
@@ -516,8 +548,6 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     v_sel = sidx & ((1 << lexshift) - 1)
 
     # ---- state update (mirrors _make_frame_step_fast post-top_k block)
-    pb_g = _take1(pb, w_sel)
-    pnb_g = _take1(pnb, w_sel)
     last_g = _take1(last, w_sel)
     len_g = _take1(length, w_sel)
     h1_g = _take1(h1, w_sel)
@@ -526,7 +556,6 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     hp2_g = _take1(hp2, w_sel)
     stay_pb_g = _take1(stay_pb, w_sel)
     stay_pnb_g = _take1(stay_pnb, w_sel)
-    f_v = take_f(f, v_sel)
     # sorted top_val recovered from the sorted key (sort carries only
     # (key, idx); the key IS the monotone-bit image of the score)
     u_sorted = lax.bitcast_convert_type(key_s, jnp.uint32) \
@@ -540,11 +569,14 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     new_live = (top > DEAD * 0.5) & (k_iota < W)
 
     is_stay = v_sel == blank_id
-    total_g = _logaddexp(pb_g, pnb_g)
-    sel_ext_pnb = jnp.where(v_sel == last_g, pb_g, total_g) + f_v
+    # an extend slot's ns2 IS its candidate score: the XLA path gathers
+    # ext_pnb at the selected index, which equals top_vals bit-for-bit
+    # (same grid array), and `top` here is the exact bit roundtrip of
+    # the recomputed score — so no second rescore (incl. the LM term)
+    # is needed.
     ns1 = jnp.where(new_live & is_stay, stay_pb_g, NEG_INF)
     ns2 = jnp.where(new_live,
-                    jnp.where(is_stay, stay_pnb_g, sel_ext_pnb),
+                    jnp.where(is_stay, stay_pnb_g, top),
                     NEG_INF)
     vp1 = v_sel + 1
     nh1 = jnp.where(is_stay, h1_g, h1_g * M1 + vp1)
@@ -562,9 +594,16 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     return ys_row, new_fields
 
 
-def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
+def _kernel(f_ref, init_ref, *rest, W: int, V: int,
             blank_id: int, Wg: int, P: int, VPX: int, TBLK: int,
-            T_real: int, debug_stage: int = 99, sel_mode: str = "auto"):
+            T_real: int, debug_stage: int = 99, sel_mode: str = "auto",
+            has_lm: bool = False):
+    if has_lm:
+        lm_ref, ys_ref, fin_ref, st = rest
+        lm = tuple(lm_ref[h] for h in range(P))
+    else:
+        ys_ref, fin_ref, st = rest
+        lm = None
     # TBLK frames per grid step: the frame body is unrolled in-kernel so
     # the fixed per-grid-step cost (DMA setup + launch) is amortized.
     # Tail frames beyond T_real compute on pad input but their state
@@ -580,7 +619,7 @@ def _kernel(f_ref, init_ref, ys_ref, fin_ref, st, *, W: int, V: int,
     for j in range(TBLK):
         ys_row, new_fields = _frame_math(
             f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
-            VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode)
+            VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode, lm=lm)
         ys_ref[j] = ys_row
         if new_fields is None:      # debug truncation: state untouched
             break
@@ -605,7 +644,8 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         debug_stage: int = 99,
                         pack: int = 0,
                         tblk: int = 1,
-                        sel_mode: str = "auto") -> FusedDecodeOut:
+                        sel_mode: str = "auto",
+                        lm_q=None) -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
 
     log_probs: [T, B, V] f32 log-probabilities. Supported shapes:
@@ -617,9 +657,16 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
 
     pack: beam rows per 128-lane grid row (see _frame_math). 0 = auto
     (2 when V <= 64 — halves the VPU-bound flat phases); 1/2/4 force.
+
+    lm_q: optional [V+1, V] shallow-fusion LM bias table, ALREADY
+    bf16-quantized and -0.0-sanitized (beam_search quantizes once for
+    both paths). Requires V <= 127 (table rows must fit the 128-lane
+    one-hot contraction; the VPX=256 vocab-tiling case falls back to
+    the XLA matched path in the dispatcher).
     """
     T, B, V_in = log_probs.shape
     assert V_in == V and W <= S and V <= 2 * VP
+    assert lm_q is None or V <= VP - 1
     VPX = VP if V <= VP else 2 * VP
     if pack == 0:
         # auto: pack only when the packed row axis keeps >= 8 sublanes
@@ -662,17 +709,32 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     Tp = T + t_pad
 
     grid = (Bp // block_b, Tp // TBLK)
+    in_specs = [
+        pl.BlockSpec((TBLK, block_b, VPX), lambda b, t: (t, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [f, init_packed]
+    if lm_q is not None:
+        # P tables [VP, VPX]: table h holds the bias values in lane
+        # half h (see _frame_math); table 0 is the unshifted copy the
+        # rescore lookup uses. Constant index_map -> fetched once.
+        Vpk = VPX // pack
+        tbl = jnp.stack([
+            jnp.pad(lm_q, ((0, VP - (V + 1)),
+                           (h * Vpk, VPX - V - h * Vpk)))
+            for h in range(pack)])
+        in_specs.append(pl.BlockSpec((pack, VP, VPX), lambda b, t: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(tbl)
     ys, fin = pl.pallas_call(
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
                           Wg=Wg, P=pack, VPX=VPX, TBLK=TBLK, T_real=T,
-                          debug_stage=debug_stage, sel_mode=sel_mode),
+                          debug_stage=debug_stage, sel_mode=sel_mode,
+                          has_lm=lm_q is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TBLK, block_b, VPX), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((TBLK, block_b, S), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
@@ -685,7 +747,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
         ),
         scratch_shapes=[pltpu.VMEM((NF, block_b, S), jnp.int32)],
         interpret=interpret,
-    )(f, init_packed)
+    )(*operands)
     if t_pad:
         ys = ys[:T]
 

@@ -60,6 +60,14 @@ def rnn_scan_pallas_raw(xw: jax.Array, w_hh: jax.Array, h0: jax.Array,
     t_map = (lambda t: (T - 1 - t, 0, 0)) if reverse else \
         (lambda t: (t, 0, 0))
 
+    # VMEM: W_hh (possibly double-buffered despite the constant
+    # index_map) + double-buffered xw/out blocks + h0 + h scratch.
+    # The default 16 MB scoped budget rejects H=2048 (8 MB bf16 weights
+    # alone, 16 MB f32); size the limit from the shapes instead —
+    # v5e has 128 MB of physical VMEM.
+    wbytes = H * H * jnp.dtype(weight_dtype).itemsize
+    vmem_budget = min(110 * 2**20,
+                      2 * wbytes + 6 * B * H * 4 + 4 * 2**20)
     out = pl.pallas_call(
         _kernel,
         grid=(T,),
@@ -74,6 +82,8 @@ def rnn_scan_pallas_raw(xw: jax.Array, w_hh: jax.Array, h0: jax.Array,
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_budget)),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * H,
             bytes_accessed=T * B * H * 4 * 2 + H * H * 2,

@@ -51,6 +51,30 @@ def test_pallas_equals_matched(W, V, T, B):
     _assert_same(got, ref)
 
 
+@pytest.mark.parametrize("W,V,T,B", [
+    (6, 5, 10, 2),       # pack=1 (W <= 8)
+    (20, 23, 8, 2),      # pack=2
+])
+def test_pallas_lm_bias_equals_matched(W, V, T, B):
+    # shallow-fusion LM bias rides the kernel (one-hot MXU table
+    # lookups); both paths apply the bf16-quantized table, so the
+    # results must still be ARRAY-EQUAL.
+    rng = np.random.default_rng(hash(("lm", W, V)) % (2**32))
+    lp = _logits(rng, T, B, V)
+    lm = jnp.asarray(
+        rng.standard_normal((V + 1, V)).astype(np.float32) * 2.0)
+    ref = ctc_beam_search(lp, beam_width=W, merge_impl="matched",
+                          max_len=16, lm_bias=lm)
+    got = ctc_beam_search(lp, beam_width=W, merge_impl="pallas",
+                          max_len=16, lm_bias=lm)
+    _assert_same(got, ref)
+    # and the bias must actually do something vs no-LM decode
+    base = ctc_beam_search(lp, beam_width=W, merge_impl="pallas",
+                           max_len=16)
+    assert not np.array_equal(np.asarray(base.scores),
+                              np.asarray(got.scores))
+
+
 def test_pallas_tie_heavy():
     # coarsely quantized log-probs force score ties at the beam boundary:
     # exercises the threshold-quota tie admission against lax.top_k
@@ -140,8 +164,11 @@ def test_pallas_rejects_unsupported():
         ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
                         algorithm="reference")
     with pytest.raises(ValueError):
-        ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
-                        lm_bias=jnp.zeros((6, 5)))
+        # lm_bias is kernel-supported only for V <= 127 (one-hot table
+        # rows); the V > 128 vocab-tiling case must reject
+        ctc_beam_search(jnp.zeros((2, 1, 130), jnp.float32),
+                        beam_width=3, merge_impl="pallas",
+                        lm_bias=jnp.zeros((131, 130)))
     with pytest.raises(ValueError):
         # V > 256 is out of kernel range entirely
         ctc_beam_search(jnp.zeros((2, 1, 300), jnp.float32),

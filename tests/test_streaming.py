@@ -43,6 +43,27 @@ def test_streaming_equals_batch(algorithm, chunks):
                     == np.asarray(full.tokens)[b, w, :n].tolist())
 
 
+def test_streaming_lm_bias_equals_batch():
+    """LM shallow fusion carries across chunk boundaries identically."""
+    rng = np.random.default_rng(11)
+    T, B, V, W = 14, 2, 5, 6
+    lp = rand_logprobs(rng, T, B, V)
+    lm = jnp.asarray(rng.standard_normal((V + 1, V)).astype(np.float32))
+
+    full = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=32,
+                           lm_bias=lm)
+    state = streaming_init(B, W, max_len=32)
+    for t0, t1 in ((0, 6), (6, 9), (9, 14)):
+        state, snap = streaming_step(state, jnp.asarray(lp[t0:t1]),
+                                     lm_bias=lm)
+    np.testing.assert_array_equal(np.asarray(snap.lengths),
+                                  np.asarray(full.lengths))
+    np.testing.assert_allclose(np.asarray(snap.scores),
+                               np.asarray(full.scores), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(snap.tokens),
+                                  np.asarray(full.tokens))
+
+
 def test_streaming_intermediate_snapshots_valid():
     """Every intermediate snapshot is a valid decode of the prefix seen."""
     rng = np.random.default_rng(0)
