@@ -61,10 +61,18 @@ def _tp_frame_step(B, W, V, Vl, blank_id, axis):
         last_clip = jnp.clip(state.last, 0, V - 1)
         f_last = jnp.take_along_axis(f, last_clip, axis=1)
 
-        # ---- replicated parent match (identical on every shard)
+        # ---- replicated parent match (identical on every shard).
+        # The length off-by-one test is FOLDED into the h2 compare
+        # (k2 = 31*h2 + length) — the IDENTICAL predicate computed by
+        # _make_frame_step_fast (beam_search.py) and the fused kernel
+        # (fused_decode._frame_math), so all three decode paths stay
+        # bit-equal BY CONSTRUCTION, not merely up to independent hash-
+        # collision sets (tests/test_decode_tp.py::test_all_paths_equal).
+        k2 = state.h2 * jnp.uint32(31) + state.length.astype(jnp.uint32)
+        kp2 = (state.hp2 * jnp.uint32(31) +
+               (state.length - 1).astype(jnp.uint32))
         eq = ((state.h1[:, :, None] == state.hp1[:, None, :]) &
-              (state.h2[:, :, None] == state.hp2[:, None, :]) &
-              (state.length[:, :, None] == state.length[:, None, :] - 1) &
+              (k2[:, :, None] == kp2[:, None, :]) &
               live[:, :, None] & live[:, None, :])
         has_match = eq.any(axis=1)
         match = jnp.argmax(eq, axis=1).astype(jnp.int32)

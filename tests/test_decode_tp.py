@@ -41,6 +41,35 @@ def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
                     == np.asarray(want.tokens)[b, w, :n].tolist()), (b, w)
 
 
+def test_all_paths_array_equal():
+    """sort, matched, pallas(interpret), and TP decode produce ARRAY-equal
+    tokens/lengths/scores on the same inputs — the shared-identity-
+    predicate contract (k2 = 31*h2 + length folded compare) holding by
+    construction across every implementation."""
+    rng = np.random.default_rng(7)
+    T, B, V, W = 12, 3, 29, 16
+    lp = jnp.asarray(rand_logprobs(rng, T, B, V))
+    mesh = make_mesh({"model": 4})
+
+    outs = {
+        "sort": ctc_beam_search(lp, beam_width=W, max_len=32,
+                                merge_impl="sort"),
+        "matched": ctc_beam_search(lp, beam_width=W, max_len=32,
+                                   merge_impl="matched"),
+        "pallas": ctc_beam_search(lp, beam_width=W, max_len=32,
+                                  merge_impl="pallas"),
+        "tp": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32),
+    }
+    ref = outs["matched"]
+    for name, got in outs.items():
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(got.scores), np.asarray(ref.scores), err_msg=name)
+
+
 def test_conformer_l_sharded_forward_plus_tp_decode():
     """BASELINE config-5 capability slice: Conformer (TP-sharded weights
     via generic specs) -> model-axis tensor-parallel beam decode, on one
