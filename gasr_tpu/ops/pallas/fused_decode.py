@@ -77,6 +77,20 @@ COARSE_BITS = 24             # hybrid bisection split (swept on TPU:
                              # the flagship shape)
 
 
+class _TPInputs(NamedTuple):
+    """Vocab-sharded (tensor-parallel) frame inputs: this shard owns
+    global vocab ids [lo, hi) mapped to local lanes [0, hi-lo). The
+    full-vocab values the stay computation needs (f[:, last], f[:,
+    blank]) are precomputed OUTSIDE the kernel — the kernel's f operand
+    is just the shard's 128-lane slice, which is what makes the fused
+    frame V-independent (any vocab size, each shard sees <= 128 lanes;
+    cf. parallel/decode_tp.py)."""
+    lo: jax.Array        # [] int32 (SMEM scalar)
+    hi: jax.Array        # [] int32 (SMEM scalar)
+    f_last: jax.Array    # [Bt, S] f32: f[b, last_clip[b, w]] (full vocab)
+    f_blank: jax.Array   # [Bt, S] f32: f[b, blank_id] broadcast
+
+
 class FusedDecodeOut(NamedTuple):
     ys: jax.Array       # [T, B, W] packed backpointers (beam_search._pack_ys)
     h1: jax.Array       # [B, W] uint32
@@ -117,12 +131,21 @@ def _take1(x, idx):
 
 def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
                 P: int = 1, VPX: int = VP, debug_stage: int = 99,
-                sel_mode: str = "auto", lm=None):
+                sel_mode: str = "auto", lm=None, tp=None):
     """One beam-search frame transition on in-register field values.
 
     fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
-    Returns (ys_row, new_fields); new_fields is None when a debug_stage
-    truncation fired (ys_row then carries the stage placeholder).
+    Returns (ys_row, new_fields, sidx_row); new_fields is None when a
+    debug_stage truncation fired (ys_row then carries the stage
+    placeholder). sidx_row is the selected slots' LOCAL lex index
+    (w << lexshift | v) — the TP merge decodes winners from it.
+
+    tp: optional _TPInputs for the vocab-sharded frame — lane l then
+    represents GLOBAL vocab id lo + (l % Vpk) when < hi (sentinel 2^30
+    otherwise), only owned lanes produce candidates, and every identity
+    update (hashes, last, ys char) uses the GLOBAL id, so the local
+    top-W are exactly the shard's rows of the single-chip candidate
+    grid under the same (score desc, lex idx asc) order.
 
     Wg: trimmed grid-row count (round_up(W, 8) <= 128) — beam slots
     live in S=128 lanes, but candidate-grid ROW axes only need W
@@ -191,7 +214,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # debug_stage: bring-up bisection knob — truncate the frame body
     # after stage N and emit a placeholder so nothing is DCE'd.
     def _emit(val_i32):
-        return val_i32, None
+        return val_i32, None, None
 
     Bt = f.shape[0]
 
@@ -211,7 +234,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 
     total = _logaddexp(pb, pnb)
     last_clip = jnp.clip(last, 0, V - 1)
-    f_last = take_f(f, last_clip)
+    f_last = tp.f_last if tp is not None else take_f(f, last_clip)
     if debug_stage <= -3:
         return _emit(_f2i(total + f_last))
 
@@ -252,9 +275,12 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         return _emit(match + last_m + _f2i(pb_m + pnb_m))
 
     # ---- stay candidates (blank column of the grid)
-    vlane = lax.broadcasted_iota(jnp.int32, (Bt, VPX), 1)
-    f_blank = jnp.sum(jnp.where(vlane == blank_id, f, 0.0), axis=1,
-                      keepdims=True)                # [Bt, 1]
+    if tp is not None:
+        f_blank = tp.f_blank                        # [Bt, S] broadcast
+    else:
+        vlane = lax.broadcasted_iota(jnp.int32, (Bt, VPX), 1)
+        f_blank = jnp.sum(jnp.where(vlane == blank_id, f, 0.0), axis=1,
+                          keepdims=True)            # [Bt, 1]
     stay_pb = total + f_blank
     stay_pnb = jnp.where(length > 0, pnb + f_last, NEG_INF)
     ext_base_m = jnp.where(last_m == last, pb_m, _logaddexp(pb_m, pnb_m))
@@ -277,7 +303,15 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         # axis-1 dynamic_gather — supported; a one-hot MXU matmul would
         # round the f32 scores to bf16)
         f_pk = _take1(f, lane & (Vpk - 1))
-    is_rep = v3 == selh(last)
+    if tp is not None:
+        # global vocab id per lane; unowned lanes -> 2^30 sentinel (>= V,
+        # != blank, never equal to a real `last`), so they fall out of
+        # in_grid below exactly like single-chip vocab pads.
+        vg3 = jnp.where(tp.lo + v3 < tp.hi, tp.lo + v3,
+                        jnp.int32(1 << 30))
+    else:
+        vg3 = v3
+    is_rep = vg3 == selh(last)
     ext_pnb3 = jnp.where(is_rep, selh(pb),
                          selh(total)) + jnp.expand_dims(f_pk, 1)
     if lm is not None:
@@ -311,7 +345,16 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     for h in range(1, P):
         h_star = h_star + (match >= h * Rg).astype(jnp.int32)
     r_star = jnp.where(has_match, match - h_star * Rg, -1)    # [Bt, S]
-    l_star = h_star * Vpk + last_clip                         # [Bt, S]
+    if tp is not None:
+        # the absorbed extend's cell exists on the shard owning vocab
+        # lane last_k: map to the LOCAL lane, out-of-range on others
+        lane_owned = (last_clip >= tp.lo) & (last_clip < tp.hi)
+        last_lane = jnp.where(lane_owned, last_clip - tp.lo,
+                              jnp.int32(-(VPX + 7)))
+    else:
+        lane_owned = None
+        last_lane = last_clip
+    l_star = h_star * Vpk + last_lane                         # [Bt, S]
     a_row = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, S), 1) ==
              jnp.expand_dims(r_star, 1)).astype(jnp.float32)
     a_lane = (lax.broadcasted_iota(jnp.int32, (Bt, S, VPX), 2) ==
@@ -324,12 +367,13 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
                              _f2i(jnp.sum(ext_pnb3, axis=2)),
                              ((0, 0), (0, S - Rg))))
 
-    valid_ext = ((v3 != blank_id).astype(jnp.int32) *
+    valid_ext = ((vg3 != blank_id).astype(jnp.int32) *
                  selh(live_i) * (1 - excl_i))
     cand3 = jnp.where(valid_ext > 0, ext_pnb3, DEAD)
-    cand3 = jnp.where(v3 == blank_id, selh(stay_score), cand3)
-    # grid pads rank strictly below every XLA candidate
-    in_grid = (v3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
+    cand3 = jnp.where(vg3 == blank_id, selh(stay_score), cand3)
+    # grid pads (and, under tp, unowned lanes) rank strictly below
+    # every XLA candidate
+    in_grid = (vg3 < V).astype(jnp.int32) * (w3 < W).astype(jnp.int32)
     cand3 = jnp.where(in_grid > 0, cand3, PAD)
     # chunked canonical layout [Bt, Cg, 128]: identity when VPX == 128
     # (Cg == Rg); a one-time lane-tile split for VPX == 256. All
@@ -502,7 +546,14 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # one [Bt, S, S] compare + max replaces the three-compare/two-
     # multiply exk grid of the same shape.
     idx_lex = idx_n if P == 1 else ((w_sel0 << lexshift) | v_sel0)
-    p_code = jnp.where(has_match, (match << lexshift) | last_clip, -1)
+    if tp is not None:
+        p_code = jnp.where(has_match & lane_owned,
+                           (match << lexshift) | (last_clip - tp.lo), -1)
+        vg_sel0 = jnp.where(tp.lo + v_sel0 < tp.hi, tp.lo + v_sel0,
+                            jnp.int32(1 << 30))
+    else:
+        p_code = jnp.where(has_match, (match << lexshift) | last_clip, -1)
+        vg_sel0 = v_sel0
     # stay axis on sublanes, trimmed to Wg (stay slots >= W are dead,
     # p_code == -1): [Bt, Wg, S] instead of [Bt, S, S]
     excl_sel = jnp.max(
@@ -513,7 +564,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     last_s = _take1(last, w_sel0)
     total_s = _logaddexp(pb_s, pnb_s)
     f_vs = take_f(f, v_sel0)
-    extv = jnp.where(v_sel0 == last_s, pb_s, total_s) + f_vs
+    extv = jnp.where(vg_sel0 == last_s, pb_s, total_s) + f_vs
     if lm is not None:
         # same bias value for the selected cells: row lookup via
         # one-hot matmul on table 0 (unshifted: lane == v, and
@@ -527,10 +578,10 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         ohv = (lax.broadcasted_iota(jnp.int32, (Bt, S, VPX), 2) ==
                jnp.expand_dims(v_sel0, 2)).astype(jnp.float32)
         extv = extv + jnp.sum(rows_v * ohv, axis=2)
-    validv = ((v_sel0 != blank_id).astype(jnp.int32) * live_sel
+    validv = ((vg_sel0 != blank_id).astype(jnp.int32) * live_sel
               * (1 - excl_sel))
     top_val = jnp.where(validv > 0, extv, DEAD)
-    top_val = jnp.where(v_sel0 == blank_id,
+    top_val = jnp.where(vg_sel0 == blank_id,
                         _take1(stay_score, w_sel0), top_val)
     # pad slots (k >= W) carry garbage idx_n; their key is forced below
     if debug_stage <= 4:
@@ -546,6 +597,14 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         return _emit(sidx + key_s)
     w_sel = sidx >> lexshift
     v_sel = sidx & ((1 << lexshift) - 1)
+    if tp is not None:
+        # identity updates use the GLOBAL vocab id. Slots < W always
+        # decode an owned lane (>= W real candidates exist on every
+        # shard: the dispatcher guarantees hi > lo), and slots >= W are
+        # dead (new_live masks them), so the sentinel never leaks into
+        # a live identity.
+        v_sel = jnp.where(tp.lo + v_sel < tp.hi, tp.lo + v_sel,
+                          jnp.int32(1 << 14))
 
     # ---- state update (mirrors _make_frame_step_fast post-top_k block)
     last_g = _take1(last, w_sel)
@@ -591,7 +650,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
               | (appended.astype(jnp.int32) << 30))
     new_fields = (nh1, nh2, nhp1, nhp2, n_last, n_len,
                   new_live.astype(jnp.int32), _f2i(ns1), _f2i(ns2))
-    return ys_row, new_fields
+    return ys_row, new_fields, sidx
 
 
 def _kernel(f_ref, init_ref, *rest, W: int, V: int,
@@ -617,7 +676,7 @@ def _kernel(f_ref, init_ref, *rest, W: int, V: int,
 
     fields = tuple(st[i] for i in range(NF))
     for j in range(TBLK):
-        ys_row, new_fields = _frame_math(
+        ys_row, new_fields, _ = _frame_math(
             f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
             VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode, lm=lm)
         ys_ref[j] = ys_row
@@ -796,6 +855,109 @@ def pack_state(beam) -> jax.Array:
             lax.bitcast_convert_type(jnp.float32(NEG_INF), jnp.int32))
         packed = jnp.concatenate([packed, pad], axis=2)
     return packed
+
+
+# ----------------------------------------------- TP local frame kernel
+
+def _tp_kernel(lohi_ref, f_ref, flast_ref, fblank_ref, st_ref,
+               ys_ref, sidx_ref, fin_ref, *, W: int, V: int,
+               blank_id: int, Wg: int, P: int):
+    tp = _TPInputs(lo=lohi_ref[0], hi=lohi_ref[1],
+                   f_last=flast_ref[...], f_blank=fblank_ref[...])
+    fields = tuple(st_ref[i] for i in range(NF))
+    ys_row, new_fields, sidx = _frame_math(
+        f_ref[...], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
+        VPX=VP, tp=tp)
+    ys_ref[...] = ys_row
+    sidx_ref[...] = sidx
+    for i in range(NF):
+        fin_ref[i] = new_fields[i]
+
+
+def tp_pack(V: int, n_shards: int, W: int) -> int:
+    """Static beam-packing factor for the vocab-sharded frame kernel:
+    largest P with Vpk = 128/P >= the widest shard slice (balanced
+    slicing: ceil(V/n)) and Wg = round_up(W, 8P) <= 128. Sharding by
+    vocab SHRINKS the packed grid (P up to 4 vs 2 single-chip at the
+    flagship V=47, n=4), which is the kernel-side win of TP decode."""
+    vl_max = -(-V // n_shards)
+    for p in (4, 2, 1):
+        wg = max(8 * p, _round_up(W, 8 * p))
+        if vl_max <= VP // p and wg <= S and (p == 1 or W > 8):
+            return p
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "V", "blank_id", "pack", "block_b", "interpret"))
+def fused_tp_frame(f_loc: jax.Array, f_last: jax.Array,
+                   f_blank: jax.Array, state_packed: jax.Array,
+                   lo_hi: jax.Array, W: int, V: int, blank_id: int = 0,
+                   pack: int = 1, block_b: int = 24,
+                   interpret: bool = False):
+    """One vocab-sharded beam-search frame transition (local top-W).
+
+    The shard owns global vocab ids [lo_hi[0], lo_hi[1]) — a TRACED
+    range (lax.axis_index-derived), passed to the kernel as SMEM
+    scalars, so one compiled program serves every shard. Inputs:
+    f_loc [B, 128] = f[:, lo:lo+128] (any-V support: the kernel only
+    ever sees a 128-lane slice); f_last [B, S] = f[b, last[b, w]];
+    f_blank [B, S] = f[b, blank] broadcast; state_packed [NF, B, S].
+
+    Returns (ys [B, S], sidx [B, S], fin [NF, B, S]): slots 0..W-1 hold
+    the shard's local top-W candidates in (score desc, lex idx asc)
+    order with their ALREADY-UPDATED state fields (global-vocab hashes
+    / last / length); parallel/decode_tp.py exchanges the W slots and
+    reduces to the global beam. Exactness: the local order equals
+    lax.top_k over this shard's rows of the single-chip candidate
+    grid, so the union of shard top-Ws contains the global top-W
+    (CTCBeamSearch.cu:519-595 re-imagined at pod scale)."""
+    B = f_loc.shape[0]
+    assert W <= S and f_loc.shape[1] == VP
+    Wg = max(8 * pack, _round_up(W, 8 * pack))
+    assert pack in (1, 2, 4) and Wg <= S
+    if interpret:
+        block_b = min(block_b, max(8, _round_up(B, 8)))
+    b_pad = (-B) % block_b
+    if b_pad:
+        pad2 = ((0, b_pad), (0, 0))
+        f_loc = jnp.pad(f_loc, pad2)
+        f_last = jnp.pad(f_last, pad2)
+        f_blank = jnp.pad(f_blank, pad2)
+        state_packed = jnp.pad(state_packed, ((0, 0), (0, b_pad), (0, 0)))
+    Bp = B + b_pad
+
+    ys, sidx, fin = pl.pallas_call(
+        functools.partial(_tp_kernel, W=W, V=V, blank_id=blank_id,
+                          Wg=Wg, P=pack),
+        grid=(Bp // block_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, VP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, S), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, S), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, S), jnp.int32),
+            jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
+        ),
+        interpret=interpret,
+    )(lo_hi.astype(jnp.int32), f_loc, f_last, f_blank, state_packed)
+    return ys[:B], sidx[:B], fin[:, :B]
 
 
 # ------------------------------------------------------------- traceback

@@ -41,6 +41,9 @@ from jax import shard_map
 from gasr_tpu.decoder.beam_search import (
     _BeamState, _init_beam, _logaddexp, _result, _traceback,
     BeamSearchResult, DEAD_KEY_LOG, M1, M2, NEG_INF)
+from gasr_tpu.ops.pallas.fused_decode import (
+    F_LAST, F_LIVE, F_S1, F_S2, NF, S as _S, VP as _VP,
+    fused_tp_frame, pack_state, tp_pack)
 
 
 def _tp_frame_step(B, W, V, Vl, blank_id, axis):
@@ -189,8 +192,101 @@ def _tp_frame_step(B, W, V, Vl, blank_id, axis):
     return frame_step
 
 
+def _dead_pad(B: int, W: int) -> jax.Array:
+    """Packed-state beam-slot pad block [NF, B, S-W]: dead, never hash-
+    matching — bit-identical to fused_decode.pack_state's pad, so the
+    per-frame kernel sees the same lane invariants the whole-scan
+    kernel establishes at t=0."""
+    neg = jax.lax.bitcast_convert_type(jnp.float32(NEG_INF), jnp.int32)
+    pad = jnp.zeros((NF, B, _S - W), jnp.int32)
+    pad = pad.at[0].set(-1)                                     # F_H1
+    pad = pad.at[1].set(jnp.arange(W, _S, dtype=jnp.int32)[None, :]
+                        | np.int32(np.int64(0x7F000000)))       # F_H2
+    pad = pad.at[F_LAST].set(-1)
+    pad = pad.at[F_S1].set(neg)
+    pad = pad.at[F_S2].set(neg)
+    return pad
+
+
+def _make_fused_run(B, W, V, blank_id, n, axis, pack, interpret):
+    """Vocab-sharded decode scan where the per-shard frame work is the
+    fused Pallas kernel (fused_decode.fused_tp_frame) instead of the
+    XLA matched step — each shard's candidate expansion, local top-W
+    selection, AND state update run on-chip; the only cross-chip
+    traffic is ONE all_gather of the [NF+2, B, W] winner payload per
+    frame. Shards own balanced global-vocab ranges [floor(sV/n),
+    floor((s+1)V/n)) (every shard non-empty for n <= V), passed to the
+    kernel as traced SMEM scalars so one compiled program serves all
+    shards."""
+    DEAD = DEAD_KEY_LOG
+
+    def run(lp, init_packed):
+        s = lax.axis_index(axis)
+        lo = (s * V) // n
+        hi = ((s + 1) * V) // n
+        lo_hi = jnp.stack([lo, hi]).astype(jnp.int32)
+        # right-pad vocab so every shard's 128-lane dynamic_slice is in
+        # bounds (unowned lanes are sentinel-masked in the kernel)
+        fpad = jnp.pad(lp, ((0, 0), (0, 0), (0, _VP)))
+        pad_blk = _dead_pad(B, W)
+        iota_nw = lax.broadcasted_iota(jnp.int32, (B, n * W), 1)
+
+        def frame(st, f_t):
+            f_full = f_t[:, :V]
+            last_clip = jnp.clip(st[F_LAST], 0, V - 1)
+            f_last = jnp.take_along_axis(f_full, last_clip, axis=1)
+            f_blank = jnp.broadcast_to(
+                f_full[:, blank_id:blank_id + 1], (B, _S))
+            f_loc = lax.dynamic_slice(f_t, (jnp.int32(0), lo), (B, _VP))
+            ys, sidx, fin = fused_tp_frame(
+                f_loc, f_last, f_blank, st, lo_hi, W=W, V=V,
+                blank_id=blank_id, pack=pack, interpret=interpret)
+            # local winners -> global candidate index (tie-break key):
+            # stays sit at the blank lane, so gidx = w*V + v matches the
+            # single-chip flat grid index for every winner kind.
+            w_loc = (sidx >> 7)[:, :W]
+            v_glob = lo + (sidx & 127)[:, :W]
+            gidx = w_loc * V + v_glob
+            payload = jnp.concatenate(
+                [fin[:, :, :W], ys[None, :, :W], gidx[None]], axis=0)
+            g = lax.all_gather(payload, axis, axis=2)
+            g = g.reshape(NF + 2, B, n * W)
+            s1 = lax.bitcast_convert_type(g[F_S1], jnp.float32)
+            s2 = lax.bitcast_convert_type(g[F_S2], jnp.float32)
+            # winner value reconstructed exactly: extends carry their
+            # candidate score in s2 (s1 = NEG_INF, logaddexp exact
+            # passthrough); stays carry (stay_pb, stay_pnb) whose
+            # logaddexp IS the stay score expression; dead slots -> DEAD
+            val = jnp.where(g[F_LIVE] > 0, _logaddexp(s1, s2), DEAD)
+            order = lax.sort((jnp.float32(-1.0) * val, g[NF + 1],
+                              iota_nw), num_keys=2, is_stable=True)[2]
+            sel = jnp.take_along_axis(
+                g, jnp.broadcast_to(order[None, :, :W], (NF + 2, B, W)),
+                axis=2)
+            new_st = jnp.concatenate([sel[:NF], pad_blk], axis=2)
+            return new_st, sel[NF]
+
+        final, ys_seq = lax.scan(frame, init_packed, fpad)
+        return final, ys_seq
+
+    return run
+
+
+def _unpack_final(fin: jax.Array, B: int, W: int) -> _BeamState:
+    """[NF, B, >=W] packed int32 -> _BeamState (fused_decode layout)."""
+    fin = fin[:, :, :W]
+    u32 = functools.partial(lax.bitcast_convert_type,
+                            new_dtype=jnp.uint32)
+    f32 = functools.partial(lax.bitcast_convert_type,
+                            new_dtype=jnp.float32)
+    return _BeamState(
+        h1=u32(fin[0]), h2=u32(fin[1]), hp1=u32(fin[2]), hp2=u32(fin[3]),
+        last=fin[F_LAST], length=fin[5], tb=jnp.zeros((B, W), jnp.int32),
+        live=fin[F_LIVE] > 0, s1=f32(fin[F_S1]), s2=f32(fin[F_S2]))
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "beam_width", "blank_id", "max_len", "mesh", "axis"))
+    "beam_width", "blank_id", "max_len", "mesh", "axis", "tp_impl"))
 def ctc_beam_search_tp(
     log_probs: jax.Array,
     beam_width: int,
@@ -198,26 +294,68 @@ def ctc_beam_search_tp(
     blank_id: int = 0,
     max_len: int = 256,
     axis: str = "model",
+    tp_impl: str = "auto",
 ) -> BeamSearchResult:
     """Model-axis tensor-parallel prefix beam search (log-space).
 
     log_probs [T, B, V] may be replicated or sharded; results are
     bit-identical to ctc_beam_search(algorithm='prefix',
-    merge_impl='matched').
+    merge_impl='matched') — all paths share the folded (h1, 31*h2+len)
+    identity predicate (tests/test_decode_tp.py::test_all_paths_*).
+
+    tp_impl selects the per-shard frame implementation:
+      - "fused": the Pallas local-frame kernel (fused_tp_frame) + one
+        all_gather winner exchange per frame. Requires ceil(V/n) <= 128
+        (any V with enough shards — the V-independence win), W <= 128,
+        n <= V.
+      - "xla": the XLA matched-merge shard step (general fallback).
+      - "auto": degenerate n == 1 meshes dispatch to the single-chip
+        decoder (zero shards to exchange with -> the whole-scan fused
+        kernel applies, so a 1-chip "TP" decode costs exactly the
+        single-chip 72.5 ms flagship e2e); n > 1 takes "fused" on TPU
+        when eligible, else "xla". CPU tests opt in with
+        tp_impl="fused" (interpret mode).
     """
     T, B, V = log_probs.shape
     W = beam_width
     L = max_len
     n = mesh.shape[axis]
-    Vl = -(-V // n)
 
+    fused_ok = (W <= 128 and n <= V and -(-V // n) <= 128)
+    if tp_impl == "fused" and not fused_ok:
+        raise ValueError(
+            f"tp_impl='fused' requires W <= 128, n <= V, ceil(V/n) <= "
+            f"128; got W={W}, V={V}, n={n}")
+    if tp_impl == "auto" and n == 1:
+        from gasr_tpu.decoder.beam_search import ctc_beam_search
+        return ctc_beam_search(log_probs, beam_width=W, blank_id=blank_id,
+                               max_len=L, algorithm="prefix")
+    use_fused = (tp_impl == "fused" or
+                 (tp_impl == "auto" and fused_ok
+                  and jax.default_backend() == "tpu"))
+
+    init = _init_beam(B, W, log_domain=True)
+    repl = P()
+    if use_fused:
+        interpret = jax.default_backend() != "tpu"
+        pack = tp_pack(V, n, W)
+        run = _make_fused_run(B, W, V, blank_id, n, axis, pack, interpret)
+        run_sharded = shard_map(run, mesh=mesh, in_specs=(repl, repl),
+                                out_specs=(repl, repl), check_vma=False)
+        fin, packed_ys = run_sharded(log_probs, pack_state(init))
+        final = _unpack_final(fin, B, W)
+        tokens, timesteps, _ = _traceback(packed_ys, final.length, L,
+                                          impl="pallas")
+        return _result(final, tokens, timesteps, L, "prefix",
+                       log_domain=True)
+
+    Vl = -(-V // n)
     if Vl * n != V:
         # pad vocab so every shard's dynamic_slice is exact (padded
         # columns are masked dead inside the step via in_range)
         log_probs = jnp.pad(log_probs, ((0, 0), (0, 0), (0, Vl * n - V)),
                             constant_values=NEG_INF)
 
-    init = _init_beam(B, W, log_domain=True)
     step = _tp_frame_step(B, W, V, Vl, blank_id, axis)
 
     def run(lp, init_state):
@@ -225,7 +363,6 @@ def ctc_beam_search_tp(
         final, ys = lax.scan(step, init_state, (lp, is_last_arr))
         return final, ys
 
-    repl = P()
     run_sharded = shard_map(
         run, mesh=mesh,
         in_specs=(repl, repl),

@@ -41,6 +41,49 @@ def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
                     == np.asarray(want.tokens)[b, w, :n].tolist()), (b, w)
 
 
+@pytest.mark.parametrize("n_tp,W,V,T,B", [
+    (4, 8, 12, 15, 3),     # balanced slices of 3
+    (8, 6, 29, 10, 2),     # uneven balanced slices (4/3 lanes)
+    (3, 10, 29, 8, 2),     # n does not divide V
+    (4, 100, 47, 6, 2),    # flagship shape ratios -> pack=4 kernel
+])
+def test_tp_fused_decode_equals_single_chip(n_tp, W, V, T, B):
+    """The fused-kernel TP path (per-shard Pallas local frame + one
+    all_gather winner exchange per frame) is bit-identical to the
+    single-chip matched-merge decoder."""
+    rng = np.random.default_rng(n_tp * 31 + V)
+    lp = jnp.asarray(rand_logprobs(rng, T, B, V))
+    mesh = make_mesh({"model": n_tp})
+
+    want = ctc_beam_search(lp, beam_width=W, max_len=32,
+                           algorithm="prefix", merge_impl="matched")
+    got = ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
+                             tp_impl="fused")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(want.lengths))
+    np.testing.assert_array_equal(np.asarray(got.scores),
+                                  np.asarray(want.scores))
+
+
+def test_tp_fused_tie_heavy():
+    """Uniform logits: every candidate ties every frame — the kernel's
+    exact tie-quota path and the cross-shard gidx tie-break must still
+    reproduce lax.top_k's stable order."""
+    T, B, V, W, n = 10, 2, 13, 12, 4
+    lp = jnp.asarray(np.full((T, B, V), -np.log(V), np.float32))
+    mesh = make_mesh({"model": n})
+    want = ctc_beam_search(lp, beam_width=W, max_len=32,
+                           merge_impl="matched")
+    got = ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
+                             tp_impl="fused")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.scores),
+                                  np.asarray(want.scores))
+
+
 def test_all_paths_array_equal():
     """sort, matched, pallas(interpret), and TP decode produce ARRAY-equal
     tokens/lengths/scores on the same inputs — the shared-identity-
@@ -58,7 +101,10 @@ def test_all_paths_array_equal():
                                    merge_impl="matched"),
         "pallas": ctc_beam_search(lp, beam_width=W, max_len=32,
                                   merge_impl="pallas"),
-        "tp": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32),
+        "tp": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
+                                 tp_impl="xla"),
+        "tp_fused": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
+                                       max_len=32, tp_impl="fused"),
     }
     ref = outs["matched"]
     for name, got in outs.items():
