@@ -701,14 +701,40 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
 def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
                  blank_id: int, lm_bias=None):
     """Fused-kernel replacement for the matched-merge lax.scan; returns
-    (final _BeamState, packed_ys) array-equal to the XLA path."""
+    (final _BeamState, packed_ys) array-equal to the XLA path.
+
+    Runs the BRANCH-FREE sel_mode="flag" kernel (DEAD-de-tied slack
+    selection, no per-frame lax.cond — the cond's existence alone cost
+    ~4.3 ms/200 frames on v5e). The flag kernel is exact except when
+    > 128 REAL same-score candidates straddle one row's selection
+    threshold; such frames set ys bit 31, and the whole scan re-runs
+    once with the always-correct sel_mode="exact" kernel (a whole-scan
+    lax.cond: production inputs never take it, adversarial/tie-test
+    inputs pay one 2x re-decode for exact lax.top_k parity)."""
     from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
                                                   pack_state)
     B = init.s1.shape[0]
     interpret = jax.default_backend() != "tpu"
-    out = fused_prefix_decode(log_probs, pack_state(init), W=W, V=V,
-                              blank_id=blank_id, interpret=interpret,
-                              lm_q=lm_bias)
+    packed = pack_state(init)
+
+    def run(sel_mode):
+        return fused_prefix_decode(log_probs, packed, W=W, V=V,
+                                   blank_id=blank_id, interpret=interpret,
+                                   lm_q=lm_bias, sel_mode=sel_mode)
+
+    if interpret:
+        # CPU tests: interpret-mode tracing unrolls the grid, so the
+        # two-kernel flag pipeline would double every decode test's
+        # trace time. The always-exact kernel is single-trace and
+        # always correct; the flag pipeline's semantics are covered by
+        # direct-kernel tests (test_pallas_decode.py::test_flag_mode_*)
+        # and verified on hardware (scripts/tpu_round3_probe.py).
+        out = run("exact")
+    else:
+        out = run("flag")
+        tie_overflow = jnp.any(out.ys < 0)
+        out = lax.cond(tie_overflow, lambda _: run("exact"),
+                       lambda _: out, 0)
     final = _BeamState(
         h1=out.h1, h2=out.h2, hp1=out.hp1, hp2=out.hp2,
         last=out.last, length=out.length,

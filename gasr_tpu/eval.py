@@ -29,10 +29,14 @@ from gasr_tpu.decoder.beam_search import decode_to_lists
 
 def evaluate_batch(log_probs: jax.Array, references: Sequence[str],
                    beam_width: int = 16, blank_id: int = 0,
-                   chars: str = DEFAULT_CHARS) -> Dict[str, float]:
-    """log_probs [T, B, V]; references: B transcript strings."""
+                   chars: str = DEFAULT_CHARS,
+                   lm_bias: Optional[jax.Array] = None) -> Dict[str, float]:
+    """log_probs [T, B, V]; references: B transcript strings.
+
+    lm_bias: optional [V+1, V] shallow-fusion table (decoder/lm.py
+    producers) passed through to the beam search."""
     res = ctc_beam_search(log_probs, beam_width=beam_width,
-                          blank_id=blank_id)
+                          blank_id=blank_id, lm_bias=lm_bias)
     outs = decode_to_lists(res)
     wers, hyps = [], []
     for (ids, _score), ref in zip(outs, references):

@@ -425,7 +425,28 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         ge = (u3 >= jnp.expand_dims(t, 2)).astype(jnp.int32)
         return jnp.sum(jnp.sum(ge, axis=1), axis=1, keepdims=True)
 
-    split = 32 - COARSE_BITS
+    if sel_mode == "flag":
+        # ---- DEAD de-tie: the dominant tie mass is the constant DEAD
+        # key (invalid/dead cells — ALL of them tie). Subtracting each
+        # dead cell's lex rank (w*Vpk + v < 2^14, strictly lex-ordered;
+        # u(DEAD) - u(PAD) is ~9.5e5 ulps so no collision with PAD)
+        # makes dead keys distinct AND descending in exactly lax.top_k's
+        # tie order, so a slack selection over de-tied keys IS the exact
+        # top-W whenever < S REAL candidates share the threshold window.
+        lj3 = lax.broadcasted_iota(jnp.int32, (Bt, Cg, 128), 2)
+        cj3 = lax.broadcasted_iota(jnp.int32, (Bt, Cg, 128), 1)
+        if P == 1:
+            lex_s = cj3 * 128 + lj3
+        else:
+            wj = cj3 + Rg * (lj3 >> int(np.log2(Vpk)))
+            lex_s = wj * Vpk + (lj3 & (Vpk - 1))
+        u3 = jnp.where(c3 == DEAD, u3 - lex_s.astype(jnp.uint32), u3)
+        # bisection depth so a threshold window of g = 2^(32-bits) keys
+        # can never overflow the S slots on de-tied keys: W-1+g <= S
+        n_bits = 32 - int(np.floor(np.log2(S - W + 1))) if W < S else 32
+        split = 32 - n_bits
+    else:
+        split = 32 - COARSE_BITS
     th = jnp.zeros((Bt, 1), jnp.uint32)
     for bit in range(31, split - 1, -1):
         trial = th | (jnp.uint32(1) << bit)
@@ -473,13 +494,25 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     # sel_mode: "auto" branches per frame; "exact" always takes the
     # full-bisection tie-quota path (always correct, slower); "slack"
     # skips it entirely (TIMING PROBE ONLY — wrong on heavy-tie frames
-    # where cnt16 > S, e.g. the first frames of a fresh decode).
+    # where cnt16 > S, e.g. the first frames of a fresh decode);
+    # "flag" is BRANCH-FREE slack over DEAD-de-tied keys — exact unless
+    # > S REAL same-score candidates straddle the threshold window, in
+    # which case the frame's ys rows carry bit 31 (ignored by every ys
+    # consumer) and the CALLER re-runs the whole scan with
+    # sel_mode="exact" (beam_search._pallas_scan). Removes the per-
+    # grid-step lax.cond whose mere existence costs ~2 us of scalar/
+    # vector sync (~4.3 ms at the flagship r2 profile).
+    flag31 = None
     if sel_mode == "exact":
         sel_f3 = _sel_exact(th)
         ksel = jnp.full_like(cnt16, W)
     elif sel_mode == "slack":
         sel_f3 = _sel_slack(th)
         ksel = cnt16
+    elif sel_mode == "flag":
+        sel_f3 = _sel_slack(th)
+        ksel = cnt16
+        flag31 = (cnt16 > S).astype(jnp.int32) << 31        # [Bt, 1]
     else:
         sel_f3 = lax.cond(go_exact, _sel_exact, _sel_slack, th)
         # slots beyond the selected count are garbage (W in exact mode)
@@ -648,6 +681,9 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     appended = (~is_stay) & new_live
     ys_row = (w_sel | (jnp.maximum(n_last, 0) << 15)
               | (appended.astype(jnp.int32) << 30))
+    if flag31 is not None:
+        # tie-overflow flag rides the otherwise-unused ys sign bit
+        ys_row = ys_row | flag31
     new_fields = (nh1, nh2, nhp1, nhp2, n_last, n_len,
                   new_live.astype(jnp.int32), _f2i(ns1), _f2i(ns2))
     return ys_row, new_fields, sidx
@@ -716,6 +752,13 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
 
     pack: beam rows per 128-lane grid row (see _frame_math). 0 = auto
     (2 when V <= 64 — halves the VPU-bound flat phases); 1/2/4 force.
+
+    sel_mode: top-W selection strategy — "auto" (per-frame lax.cond
+    between slack and exact-tie paths), "exact" (always-correct full
+    bisection + tie quota, branch-free), "flag" (branch-free DEAD-de-
+    tied slack; exact unless > S real same-score candidates straddle a
+    row's threshold, which raises ys bit 31 for the caller to re-run
+    "exact" — see _pallas_scan), "slack" (timing probe only).
 
     lm_q: optional [V+1, V] shallow-fusion LM bias table, ALREADY
     bf16-quantized and -0.0-sanitized (beam_search quantizes once for

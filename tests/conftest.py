@@ -22,3 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache (works on CPU in this JAX): the
+# interpret-mode Pallas decode tests unroll the kernel grid into huge
+# graphs whose CPU compiles dominate suite wall time (~11 of 15 s on
+# the flagship-ratio case). Warm runs skip those compiles entirely —
+# the suite people actually re-run stays fast.
+_cache = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
+                                      ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -50,6 +50,7 @@ def _synth(rng, label):
     return w + rng.standard_normal(w.shape).astype(np.float32) * 0.02
 
 
+@pytest.mark.slow
 def test_audio_to_text_accuracy_anchor():
     pytest.importorskip("gasr_tpu.native")
     from gasr_tpu.config import Config

@@ -15,9 +15,9 @@ def rand_logprobs(rng, T, B, V):
 
 
 @pytest.mark.parametrize("n_tp,W,V,T,B", [
-    (4, 8, 12, 15, 3),     # V divisible by shards
-    (8, 6, 29, 10, 2),     # V=29 not divisible -> padded slice
-    (2, 16, 7, 20, 2),
+    (4, 8, 12, 8, 3),      # V divisible by shards
+    (8, 6, 29, 6, 2),      # V=29 not divisible -> padded slice
+    pytest.param(2, 16, 7, 10, 2, marks=pytest.mark.slow),
 ])
 def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
     rng = np.random.default_rng(n_tp * 100 + V)
@@ -44,8 +44,8 @@ def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
 @pytest.mark.parametrize("n_tp,W,V,T,B", [
     (4, 8, 12, 15, 3),     # balanced slices of 3
     (8, 6, 29, 10, 2),     # uneven balanced slices (4/3 lanes)
-    (3, 10, 29, 8, 2),     # n does not divide V
-    (4, 100, 47, 6, 2),    # flagship shape ratios -> pack=4 kernel
+    (3, 10, 29, 6, 2),     # n does not divide V
+    (4, 100, 47, 5, 2),    # flagship shape ratios -> pack=4 kernel
 ])
 def test_tp_fused_decode_equals_single_chip(n_tp, W, V, T, B):
     """The fused-kernel TP path (per-shard Pallas local frame + one
@@ -71,7 +71,7 @@ def test_tp_fused_tie_heavy():
     """Uniform logits: every candidate ties every frame — the kernel's
     exact tie-quota path and the cross-shard gidx tie-break must still
     reproduce lax.top_k's stable order."""
-    T, B, V, W, n = 10, 2, 13, 12, 4
+    T, B, V, W, n = 7, 2, 13, 12, 4
     lp = jnp.asarray(np.full((T, B, V), -np.log(V), np.float32))
     mesh = make_mesh({"model": n})
     want = ctc_beam_search(lp, beam_width=W, max_len=32,
@@ -90,7 +90,7 @@ def test_all_paths_array_equal():
     predicate contract (k2 = 31*h2 + length folded compare) holding by
     construction across every implementation."""
     rng = np.random.default_rng(7)
-    T, B, V, W = 12, 3, 29, 16
+    T, B, V, W = 8, 2, 29, 16
     lp = jnp.asarray(rand_logprobs(rng, T, B, V))
     mesh = make_mesh({"model": 4})
 

@@ -20,7 +20,8 @@ def rand_logprobs(rng, T, B, V, peaky=False):
     return x - np.log(np.exp(x).sum(-1, keepdims=True))
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", [0] + [
+    pytest.param(s, marks=pytest.mark.slow) for s in range(1, 5)])
 def test_fuzz_streaming_random_chunking(seed):
     rng = np.random.default_rng(seed)
     T = int(rng.integers(6, 25))
@@ -44,7 +45,8 @@ def test_fuzz_streaming_random_chunking(seed):
                 == np.asarray(full.tokens)[b, 0, :n].tolist()), seed
 
 
-@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("seed", [0] + [
+    pytest.param(s, marks=pytest.mark.slow) for s in range(1, 5)])
 def test_fuzz_beam_score_bounds(seed):
     """Invariants: scores sorted desc; top beam score >= greedy
     alignment log-prob (prefix score sums over >= that one alignment);

@@ -5,6 +5,7 @@ decode reproduces the labels. This exercises model forward, CTC loss
 gradients, the optimizer, and the decoder as one system."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def make_task(rng, n_examples=32, n_symbols=4, label_len=4,
     return feats, labels.astype(np.int32), T
 
 
+@pytest.mark.slow
 def test_model_learns_synthetic_transcription():
     rng = np.random.default_rng(0)
     feats, labels, T = make_task(rng)
