@@ -1125,6 +1125,19 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
     B = B0 + b_pad
     nB, nT = B // BBLK, Tp // TBLK
 
+    # Scoped-VMEM limit sized from the actual block footprint. Mosaic
+    # MAY double-buffer the persistent output blocks (observed only
+    # when this program is inlined into the shard_map TP decode module
+    # — the standalone module compiles single-buffered), so budget for
+    # 2x outputs + 2x inputs + scratch + headroom; v5e has 128 MB of
+    # physical VMEM and the default 16 MB limit is what OOMed the TP
+    # path (scripts/tpu_round3_probe.py item 4c).
+    out_bytes = (2 * BBLK * Lp * S + BBLK * S) * 4
+    in_bytes = (TBLK * BBLK * S + BBLK * S) * 4
+    vmem_budget = min(110 * 2**20,
+                      2 * out_bytes + 2 * in_bytes
+                      + 2 * BBLK * S * 4 + 4 * 2**20)
+
     tok, trel, cur_fin = pl.pallas_call(
         functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp),
         grid=(nB, nT),
@@ -1150,6 +1163,8 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
         scratch_shapes=[pltpu.VMEM((BBLK, S), jnp.int32),
                         pltpu.VMEM((BBLK, S), jnp.int32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_budget)),
     )(packed_ys, final_lengths)
     # un-pad: drop pad rows/identity frames, [B, Lp, S] -> [B, S', L]
     tok = jnp.transpose(tok[:B0, :L, :Sp], (0, 2, 1))
