@@ -1003,6 +1003,352 @@ def fused_tp_frame(f_loc: jax.Array, f_last: jax.Array,
     return ys[:B], sidx[:B], fin[:, :B]
 
 
+# ------------------------------------- TP whole-scan kernel (RDMA exchange)
+#
+# The per-frame TP path (fused_tp_frame inside a lax.scan + one XLA
+# all_gather per frame) is semantically right but pays ~3.6 ms/frame at
+# the flagship shape, of which ~3.1 ms is XLA glue between the kernel
+# and the collective (gathers / lax.sort / concats on [B, nW] arrays;
+# measured scripts/tpu_r3_breakdown.py: kernel-only scan 452 us/frame
+# vs 3.6 ms full). The fix is the same one that took single-chip decode
+# from 2.0 ms/frame to 0.36: run the WHOLE T-frame scan as one Pallas
+# program per shard (grid (nB, T), beam state resident in VMEM scratch)
+# and do the per-frame winner exchange INSIDE the kernel with async
+# remote DMAs over ICI — zero per-frame launch cost, zero XLA glue, the
+# only cross-chip traffic one (NF+2)-field [Bt, 128] payload broadcast
+# per (batch-tile, frame) step. n == 1 meshes statically elide every
+# exchange instruction, so the mesh-of-1 hardware instantiation IS the
+# single-chip kernel modulo the vocab-window frame math (the timing
+# proof this environment can produce; the n > 1 RDMA path is validated
+# bit-exactly on a multi-device CPU mesh under Pallas TPU interpret
+# mode, which simulates remote DMAs and semaphores).
+#
+# Cross-shard merge: each shard's local top-W arrives SORTED by
+# (score desc, gidx asc) — the bitonic output order, which within a
+# shard coincides with global-candidate-index order (both are w-major,
+# v-ascending). The global top-W of n sorted lists is computed with a
+# fold of (n-1) bitonic TOP-128 MERGES under the composite total order
+# (score-bits desc, gidx asc): C[i] = max(A[i], B[127-i]) keeps exactly
+# the top-128 multiset and is bitonic, so log2(128) compare-exchange
+# stages re-sort it — ~8 cheap [Bt, 128] passes per list instead of an
+# O((nW)^2) rank computation. DEAD candidates reconstruct to exactly
+# the same f32 on every shard (live=0 -> DEAD), so cross-shard ties
+# break on gidx = w*V + v — precisely lax.top_k's single-chip stable
+# order, keeping dead-slot contents and backpointers array-equal to
+# the single-chip kernel (tests/test_decode_tp.py).
+#
+# Reference twin: CTCBeamSearch.cu:519-595's decode loop at pod scale —
+# the beam state exchanged via collectives at each decode step
+# (BASELINE.json config 5), with the collective riding ICI from inside
+# the kernel instead of NCCL host calls.
+
+_INT_MIN = np.int32(-2147483647 - 1)
+NFX = NF + 2                 # exchanged fields: NF state + ys + gidx
+
+
+def _cmp_gt(ka, ga, kb, gb):
+    """Strict composite order: (key desc, gidx asc) — 'a ranks ahead'."""
+    return (ka > kb) | ((ka == kb) & (ga < gb))
+
+
+def _merge2_top(ka, ga, pa, kb, gb, pb):
+    """Top-128 of two desc-sorted 128-lists under (key desc, gidx asc),
+    result in the same order; p carries an opaque payload (source id).
+    Batcher bitonic merge: max-combine against the reversed second list
+    keeps exactly the top-128 multiset and leaves a bitonic sequence,
+    which log2(128) compare-exchange stages sort."""
+    lanes = lax.broadcasted_iota(jnp.int32, ka.shape, 1)
+    rev = (S - 1) - lanes
+    kr = _take1(kb, rev)
+    gr = _take1(gb, rev)
+    pr = _take1(pb, rev)
+    agt = _cmp_gt(ka, ga, kr, gr)
+    k = jnp.where(agt, ka, kr)
+    g = jnp.where(agt, ga, gr)
+    p = jnp.where(agt, pa, pr)
+    for j in range(int(np.log2(S)) - 1, -1, -1):
+        d = 1 << j
+        partner = lanes ^ d
+        pk = _take1(k, partner)
+        pg = _take1(g, partner)
+        pp = _take1(p, partner)
+        is_lower = (lanes & d) == 0
+        gt = _cmp_gt(k, g, pk, pg)
+        # boolean algebra, not where-on-bools (select_n on i1 fails in
+        # Mosaic): descending merge keeps self iff gt coincides with
+        # being the lower partner
+        keep = gt == is_lower
+        k = jnp.where(keep, k, pk)
+        g = jnp.where(keep, g, pg)
+        p = jnp.where(keep, p, pp)
+    return k, g, p
+
+
+def _tp_scan_kernel(lohi_ref, f_loc_ref, f_full_ref, init_ref,
+                    ys_ref, fin_ref, st, *comm, W: int, V: int,
+                    blank_id: int, Wg: int, P: int, VPF: int, n: int,
+                    axis: str, mesh_axes, sel_mode: str):
+    """One (batch-tile, frame) grid step of the whole-scan TP decode."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st[...] = init_ref[...]
+
+    lo = lohi_ref[0]
+    hi = lohi_ref[1]
+    f_loc = f_loc_ref[0]
+    f_full = f_full_ref[0]
+    fields = tuple(st[i] for i in range(NF))
+    last_clip = jnp.clip(fields[F_LAST], 0, V - 1)
+    # full-vocab gathers the stay computation needs, in-kernel (V <= VPF
+    # <= 256; the two-lane-tile select mirrors _frame_math's take_f)
+    if VPF == VP:
+        f_last = _take1(f_full, last_clip)
+    else:
+        a = _take1(f_full[:, :VP], last_clip & (VP - 1))
+        b = _take1(f_full[:, VP:VPF], last_clip & (VP - 1))
+        f_last = jnp.where(last_clip >= VP, b, a)
+    vlane = lax.broadcasted_iota(jnp.int32, f_full.shape, 1)
+    f_blank = jnp.sum(jnp.where(vlane == blank_id, f_full, 0.0), axis=1,
+                      keepdims=True)
+    tp = _TPInputs(lo=lo, hi=hi, f_last=f_last, f_blank=f_blank)
+    ys_row, new_fields, sidx = _frame_math(
+        f_loc, fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P, VPX=VP,
+        sel_mode=sel_mode, tp=tp)
+
+    if n == 1:
+        # degenerate mesh: local top-W IS the global top-W — no
+        # exchange instruction exists in the compiled program
+        for i in range(NF):
+            st[i] = new_fields[i]
+        ys_ref[0] = ys_row
+        fin_ref[...] = st[...]
+        return
+
+    send_buf, recv_buf, send_sem, recv_sem = comm
+    lane = lax.broadcasted_iota(jnp.int32, (f_loc.shape[0], S), 1)
+    # shard index + flat LOGICAL device id arrive as SMEM scalars
+    # (lax.axis_index inside the kernel body would be captured as a
+    # trace constant); the model-axis stride is static mesh data
+    my_m = lohi_ref[2]
+    flat = lohi_ref[3]
+    names = [nm for nm, _ in mesh_axes]
+    sizes = [sz for _, sz in mesh_axes]
+    strides = [int(np.prod(sizes[i + 1:], dtype=np.int64))
+               for i in range(len(sizes))]
+    stride_m = strides[names.index(axis)]
+
+    # global candidate index (tie-break key): w*V + global v; stays sit
+    # at the blank lane on its owner shard, so gidx matches the single-
+    # chip flat grid index for every winner kind. Lanes >= W decode
+    # garbage — give them unique never-winning ids.
+    w_loc = sidx >> 7
+    v_loc = sidx & 127
+    gidx = w_loc * V + (lo + v_loc)
+    gidx = jnp.where(lane < W, gidx, (1 << 28) + my_m * S + lane)
+
+    step = pl.program_id(0) * pl.num_programs(1) + t
+    par = lax.rem(step, 2)
+
+    for i in range(NF):
+        send_buf[i] = new_fields[i]
+    send_buf[NF] = ys_row
+    send_buf[NF + 1] = gidx
+    for i in range(NFX):
+        recv_buf[par, i, my_m] = send_buf[i]
+
+    @pl.when(step == 0)
+    def _():
+        # start-of-decode barrier: no shard may RDMA into a peer whose
+        # kernel has not allocated its buffers yet
+        bsem = pltpu.get_barrier_semaphore()
+        for off in range(n):
+            peer = lax.rem(my_m + off, n)
+            pltpu.semaphore_signal(
+                bsem, inc=1,
+                device_id=flat + (peer - my_m) * stride_m,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(bsem, n)
+
+    def copy_desc(off, peer, dst_slot):
+        return pltpu.make_async_remote_copy(
+            src_ref=send_buf,
+            dst_ref=recv_buf.at[par, :, dst_slot],
+            send_sem=send_sem.at[off - 1],
+            recv_sem=recv_sem.at[par, dst_slot],
+            device_id=flat + (peer - my_m) * stride_m,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    for off in range(1, n):
+        peer = lax.rem(my_m + off, n)
+        copy_desc(off, peer, my_m).start()
+    for off in range(1, n):
+        peer = lax.rem(my_m + off, n)
+        # wait for peer's payload (its slot = ITS model index); the
+        # descriptor only carries shape + the right recv semaphore
+        copy_desc(off, peer, peer).wait_recv()
+
+    # ---- merge the n sorted top-W lists (replicated computation:
+    # every shard folds the identical recv contents, so the merged
+    # state stays replicated without further communication)
+    def list_j(j):
+        r = [recv_buf[par, i, j] for i in range(NFX)]
+        live = r[F_LIVE] > 0
+        val = jnp.where(live, _logaddexp(_i2f(r[F_S1]), _i2f(r[F_S2])),
+                        DEAD)
+        key = _f2i(_monotone_bits(val) ^ jnp.uint32(0x80000000))
+        key = jnp.where(lane < W, key, _INT_MIN)
+        src = np.int32(j * S) + lane
+        return key, r[NF + 1], src
+
+    k, g, p = list_j(0)
+    for j in range(1, n):
+        k, g, p = _merge2_top(k, g, p, *list_j(j))
+
+    src_j = p >> 7
+    src_l = p & (S - 1)
+    out_fields = []
+    for i in range(NFX):
+        acc = jnp.zeros_like(lane)
+        for j in range(n):
+            got = _take1(recv_buf[par, i, j], src_l)
+            acc = jnp.where(src_j == j, got, acc)
+        out_fields.append(acc)
+
+    # dead-pad lanes >= W exactly like pack_state's pad block
+    neg = int(np.int32(np.frombuffer(
+        np.float32(NEG_INF).tobytes(), np.int32)[0]))
+    in_w = lane < W
+    st[F_H1] = jnp.where(in_w, out_fields[F_H1], -1)
+    st[F_H2] = jnp.where(in_w, out_fields[F_H2],
+                         lane | np.int32(np.int64(0x7F000000)))
+    st[F_HP1] = jnp.where(in_w, out_fields[F_HP1], 0)
+    st[F_HP2] = jnp.where(in_w, out_fields[F_HP2], 0)
+    st[F_LAST] = jnp.where(in_w, out_fields[F_LAST], -1)
+    st[F_LEN] = jnp.where(in_w, out_fields[F_LEN], 0)
+    st[F_LIVE] = (in_w & (out_fields[F_LIVE] > 0)).astype(jnp.int32)
+    st[F_S1] = jnp.where(in_w, out_fields[F_S1], neg)
+    st[F_S2] = jnp.where(in_w, out_fields[F_S2], neg)
+
+    ys_g = out_fields[NF]
+    if sel_mode == "flag":
+        # a local tie-overflow on ANY shard means the union may be
+        # missing true winners — OR every shard's row flag into the
+        # output so the caller's exact re-run triggers
+        fr = jnp.zeros((lane.shape[0], 1), jnp.int32)
+        for j in range(n):
+            fr = fr | ((recv_buf[par, NF, j][:, 0:1] >> 31) & 1)
+        ys_g = ys_g | (fr << 31)
+    ys_ref[0] = ys_g
+    fin_ref[...] = st[...]
+
+    # send buffer is rewritten next step: ensure this step's outbound
+    # DMAs have left it (receives done globally != my sends drained)
+    for off in range(1, n):
+        peer = lax.rem(my_m + off, n)
+        copy_desc(off, peer, my_m).wait_send()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "V", "blank_id", "n", "axis", "mesh_axes", "pack", "block_b",
+    "sel_mode", "interpret"))
+def fused_tp_scan(f_loc: jax.Array, f_full: jax.Array,
+                  init_packed: jax.Array, lo_hi: jax.Array,
+                  W: int, V: int, blank_id: int, n: int, axis: str,
+                  mesh_axes, pack: int = 0, block_b: int = 0,
+                  sel_mode: str = "auto", interpret: bool = False):
+    """Whole-scan vocab-sharded beam search: one Pallas program per
+    shard, per-frame winner exchange via in-kernel remote DMAs.
+
+    Must be called INSIDE shard_map over the full mesh; lo_hi packs
+    the SMEM scalars [lo, hi, model_axis_index, flat_logical_device_id]
+    (axis indices are computed by the caller — inside the kernel they
+    would trace as captured constants). f_loc [T, B, VP]: this shard's 128-lane
+    vocab window f[:, :, lo:lo+VP] (right-padded); f_full [T, B, VPF]:
+    the full padded vocab (VPF = 128 or 256) for the in-kernel
+    f[b, last] / f[b, blank] gathers — which caps this kernel at
+    V <= 256 (the per-frame fused_tp_frame path stays the V-unbounded
+    fallback; its f_last is computed outside the kernel).
+    Returns (ys [T, B, S], fin [NF, B, S]) — array-equal on every
+    shard, and bit-equal to fused_prefix_decode / the matched merge.
+    """
+    T, B, _ = f_loc.shape
+    assert f_loc.shape[2] == VP and f_full.shape[2] in (VP, 2 * VP)
+    VPF = f_full.shape[2]
+    if pack == 0:
+        pack = tp_pack(V, n, W)
+    Wg = max(8 * pack, _round_up(W, 8 * pack))
+    assert pack in (1, 2, 4) and Wg <= S and W <= S
+    if block_b == 0:
+        block_b = 24 if n <= 4 else 16
+    if interpret:
+        block_b = min(block_b, max(8, _round_up(B, 8)))
+    b_pad = (-B) % block_b
+    if b_pad:
+        f_loc = jnp.pad(f_loc, ((0, 0), (0, b_pad), (0, 0)))
+        f_full = jnp.pad(f_full, ((0, 0), (0, b_pad), (0, 0)))
+        init_packed = jnp.pad(init_packed, ((0, 0), (0, b_pad), (0, 0)))
+    Bp = B + b_pad
+
+    scratch = [pltpu.VMEM((NF, block_b, S), jnp.int32)]
+    if n > 1:
+        scratch += [
+            pltpu.VMEM((NFX, block_b, S), jnp.int32),          # send
+            pltpu.VMEM((2, NFX, n, block_b, S), jnp.int32),    # recv
+            pltpu.SemaphoreType.DMA((n - 1,)),
+            pltpu.SemaphoreType.DMA((2, n)),
+        ]
+    # scoped-VMEM: the default 16 MB fits the frame math at block_b=24
+    # (fused_prefix_decode); budget the comm scratch + the extra f_full
+    # block on top, with double-buffering headroom (cf. the traceback
+    # kernel's r3 lesson: Mosaic double-buffers persistent blocks when
+    # inlined into shard_map modules)
+    comm_bytes = 4 * block_b * S * (NFX * (1 + 2 * n) if n > 1 else 0)
+    io_bytes = 4 * block_b * (VP + VPF + (2 * NF + 2) * S)
+    limit = min((16 << 20) + 2 * comm_bytes + 4 * io_bytes, 96 << 20)
+
+    if interpret and n > 1:
+        # remote DMAs need the TPU interpreter (simulated ICI), not the
+        # generic Pallas interpreter
+        interp = pltpu.InterpretParams()
+    else:
+        interp = interpret
+    ys, fin = pl.pallas_call(
+        functools.partial(
+            _tp_scan_kernel, W=W, V=V, blank_id=blank_id, Wg=Wg,
+            P=pack, VPF=VPF, n=n, axis=axis, mesh_axes=mesh_axes,
+            sel_mode=sel_mode),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_b, VP), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, VPF), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, S), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, block_b, S), lambda b, t: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, S), jnp.int32),
+            jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=limit,
+            collective_id=1 if n > 1 else None,
+            has_side_effects=n > 1),
+        interpret=interp,
+    )(lo_hi.astype(jnp.int32), f_loc, f_full, init_packed)
+    return ys[:, :B], fin[:, :B]
+
+
 # ------------------------------------------------------------- traceback
 #
 # The XLA traceback is a T-step lax.scan of tiny [B, W] gathers plus a

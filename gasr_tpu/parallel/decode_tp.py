@@ -4,26 +4,43 @@ BASELINE.json config 5 capability: "per-beam hypothesis state exchanged
 via all-gather/psum collectives at each decode step". Data-parallel
 decode is embarrassingly parallel (shard B); THIS module shards the
 decode's inner work — the [B, W, V] candidate expansion and local top-k
-— across the 'model' mesh axis by vocabulary slice, then exchanges the
-local winners with one `all_gather` per frame and reduces to the global
-top-W on every chip (replicated beam state).
+— across the 'model' mesh axis by vocabulary slice, exchanging each
+frame's local winners and reducing to the global top-W on every chip
+(replicated beam state).
 
-Exactness: every candidate lives on exactly one shard and the global
-top-W is contained in the union of per-shard top-Ws, so the result is
-bit-identical to the single-chip matched-merge decoder (same hashes,
-same tie-break by candidate index).
+Exactness (all impls): every candidate lives on exactly one shard and
+the global top-W is contained in the union of per-shard top-Ws, so the
+result is bit-identical to the single-chip matched-merge decoder (same
+hashes, same tie-break by global candidate index).
 
-Per-frame traffic (testable constant, see tests/test_decode_tp.py):
-each shard contributes its local top-W as 6 payload arrays of 4 bytes
-each (score, global candidate index, parent w, char v, s1, s2 — see
-the `ag()` block in _tp_frame_step), so one frame's all_gathers move
-    bytes = B * W * 6 * 4 * (n_shards - 1)   per chip (receive side).
-At the flagship B=256, W=100, n=4: ~1.84 MB/frame/chip; at 45 GB/s+
-per ICI link that is ~41 us/frame — comfortably ahead of the ~0.5 ms
-frame compute, and independent of V (the point of sharding by vocab).
-Hardware proof: scripts/tpu_round2_probe.py compiles + runs the
-shard_map program on a real-TPU mesh of 1 and checks bit-parity vs the
-single-chip decoder.
+Three implementations, fastest first:
+
+  * "fused" — the WHOLE-SCAN kernel (fused_decode.fused_tp_scan): all
+    T frames in one Pallas program per shard, beam state resident in
+    VMEM, and the per-frame winner exchange done with async remote
+    DMAs over ICI from inside the kernel (2-slot parity buffers +
+    per-peer DMA semaphores; bitonic top-128 merge fold for the global
+    reduce). Zero per-frame launches, zero XLA glue — at a mesh of 1
+    the exchange is statically elided and the program ties the
+    single-chip fused kernel. V <= 256.
+  * "fused_frame" — per-frame Pallas local-frame kernel + one XLA
+    all_gather per frame. V-independent (any vocab with enough
+    shards), but the XLA glue between kernel and collective costs
+    ~3.1 ms/frame at the flagship shape (scripts/tpu_r3_breakdown.py:
+    kernel-only scan 452 us/frame vs 3.6 ms/frame full path) — kept
+    as the V > 256 fallback.
+  * "xla" — matched-merge shard step in pure XLA (general fallback;
+    also the oracle the fused paths are tested against).
+
+Exchange traffic (whole-scan kernel): one [NF+2, Bt, 128] int32
+payload per (batch-tile, frame) step to each of n-1 peers =
+B * 128 * 11 * 4 * (n-1) bytes/frame/chip receive-side — ~1.7 MB at
+the flagship B=256, n=4, ~38 us/frame at 45 GB/s ICI, fully overlapped
+with the ~0.3 ms frame compute it rides behind, and independent of V
+(the point of sharding by vocab). Hardware proof: mesh-of-1 compile +
+bit-parity + timing in scripts/tpu_r3_tp_scan_probe.py; the n > 1
+RDMA program is bit-validated on a simulated multi-device ICI (Pallas
+TPU interpret mode, tests/test_decode_tp.py).
 """
 
 from __future__ import annotations
@@ -43,7 +60,7 @@ from gasr_tpu.decoder.beam_search import (
     BeamSearchResult, DEAD_KEY_LOG, M1, M2, NEG_INF)
 from gasr_tpu.ops.pallas.fused_decode import (
     F_LAST, F_LIVE, F_S1, F_S2, NF, S as _S, VP as _VP,
-    fused_tp_frame, pack_state, tp_pack)
+    fused_tp_frame, fused_tp_scan, pack_state, tp_pack)
 
 
 def _tp_frame_step(B, W, V, Vl, blank_id, axis):
@@ -272,6 +289,47 @@ def _make_fused_run(B, W, V, blank_id, n, axis, pack, interpret):
     return run
 
 
+def _make_fused_scan_run(B, W, V, blank_id, n, axis, mesh, interpret,
+                         sel_mode):
+    """Whole-scan TP decode: ONE Pallas program per shard runs all T
+    frames with the beam state resident in VMEM and the per-frame
+    winner exchange done with in-kernel remote DMAs over ICI
+    (fused_decode.fused_tp_scan). No per-frame kernel launches, no XLA
+    glue — the per-frame fused path's measured 3.1 ms/frame of
+    gathers/sort/concat between kernel and all_gather simply does not
+    exist here. Requires V <= 256 (in-kernel full-vocab f[b, last]
+    gather); the per-frame path remains the any-V fallback."""
+    VPF = _VP if V <= _VP else 2 * _VP
+    mesh_axes = tuple((str(nm), int(mesh.shape[nm]))
+                      for nm in mesh.axis_names)
+
+    sizes = [int(mesh.shape[nm]) for nm in mesh.axis_names]
+    strides = [int(np.prod(sizes[i + 1:], dtype=np.int64))
+               for i in range(len(sizes))]
+
+    def run(lp, init_packed):
+        s = lax.axis_index(axis)
+        lo = (s * V) // n
+        hi = ((s + 1) * V) // n
+        flat = jnp.int32(0)
+        for nm, stv in zip(mesh.axis_names, strides):
+            flat = flat + lax.axis_index(nm).astype(jnp.int32) * stv
+        lo_hi = jnp.stack([lo, hi, s.astype(jnp.int32), flat]
+                          ).astype(jnp.int32)
+        fpad = jnp.pad(lp, ((0, 0), (0, 0), (0, _VP)))
+        T = lp.shape[0]
+        f_loc = lax.dynamic_slice(fpad, (jnp.int32(0), jnp.int32(0), lo),
+                                  (T, B, _VP))
+        f_full = jnp.pad(lp, ((0, 0), (0, 0), (0, VPF - V)))
+        ys, fin = fused_tp_scan(
+            f_loc, f_full, init_packed, lo_hi, W=W, V=V,
+            blank_id=blank_id, n=n, axis=axis, mesh_axes=mesh_axes,
+            sel_mode=sel_mode, interpret=interpret)
+        return fin, ys
+
+    return run
+
+
 def _unpack_final(fin: jax.Array, B: int, W: int) -> _BeamState:
     """[NF, B, >=W] packed int32 -> _BeamState (fused_decode layout)."""
     fin = fin[:, :, :W]
@@ -303,41 +361,80 @@ def ctc_beam_search_tp(
     merge_impl='matched') — all paths share the folded (h1, 31*h2+len)
     identity predicate (tests/test_decode_tp.py::test_all_paths_*).
 
-    tp_impl selects the per-shard frame implementation:
-      - "fused": the Pallas local-frame kernel (fused_tp_frame) + one
-        all_gather winner exchange per frame. Requires ceil(V/n) <= 128
-        (any V with enough shards — the V-independence win), W <= 128,
-        n <= V.
+    tp_impl selects the per-shard implementation:
+      - "fused": the whole-scan Pallas kernel (fused_tp_scan) — all T
+        frames in one program per shard, beam state resident in VMEM,
+        per-frame winner exchange via in-kernel remote DMAs over ICI.
+        Requires V <= 256 (in-kernel full-vocab f[b, last] gather),
+        ceil(V/n) <= 128, W <= 128, n <= V. At n == 1 the exchange is
+        statically elided, so the program IS the single-chip fused
+        kernel modulo the vocab-window frame math.
+      - "fused_frame": the per-frame local-frame kernel
+        (fused_tp_frame) + one XLA all_gather winner exchange per
+        frame. V-independent (any vocab with enough shards) but pays
+        ~3 ms/frame of XLA glue at the flagship shape — the fallback
+        for V > 256.
       - "xla": the XLA matched-merge shard step (general fallback).
       - "auto": degenerate n == 1 meshes dispatch to the single-chip
-        decoder (zero shards to exchange with -> the whole-scan fused
-        kernel applies, so a 1-chip "TP" decode costs exactly the
-        single-chip 72.5 ms flagship e2e); n > 1 takes "fused" on TPU
-        when eligible, else "xla". CPU tests opt in with
-        tp_impl="fused" (interpret mode).
+        decoder; n > 1 takes "fused" on TPU when eligible, else
+        "fused_frame", else "xla". CPU tests opt in explicitly
+        (interpret mode).
     """
     T, B, V = log_probs.shape
     W = beam_width
     L = max_len
     n = mesh.shape[axis]
 
-    fused_ok = (W <= 128 and n <= V and -(-V // n) <= 128)
-    if tp_impl == "fused" and not fused_ok:
+    frame_ok = (W <= 128 and n <= V and -(-V // n) <= 128)
+    scan_ok = frame_ok and V <= 2 * _VP
+    if tp_impl == "fused" and not scan_ok:
         raise ValueError(
             f"tp_impl='fused' requires W <= 128, n <= V, ceil(V/n) <= "
-            f"128; got W={W}, V={V}, n={n}")
+            f"128, V <= 256; got W={W}, V={V}, n={n} (use 'fused_frame' "
+            f"for larger vocabularies)")
+    if tp_impl == "fused_frame" and not frame_ok:
+        raise ValueError(
+            f"tp_impl='fused_frame' requires W <= 128, n <= V, "
+            f"ceil(V/n) <= 128; got W={W}, V={V}, n={n}")
     if tp_impl == "auto" and n == 1:
         from gasr_tpu.decoder.beam_search import ctc_beam_search
         return ctc_beam_search(log_probs, beam_width=W, blank_id=blank_id,
                                max_len=L, algorithm="prefix")
-    use_fused = (tp_impl == "fused" or
-                 (tp_impl == "auto" and fused_ok
-                  and jax.default_backend() == "tpu"))
+    on_tpu = jax.default_backend() == "tpu"
+    if tp_impl == "auto" and on_tpu and scan_ok:
+        tp_impl = "fused"
+    elif tp_impl == "auto" and on_tpu and frame_ok:
+        tp_impl = "fused_frame"
 
     init = _init_beam(B, W, log_domain=True)
     repl = P()
-    if use_fused:
-        interpret = jax.default_backend() != "tpu"
+    if tp_impl == "fused":
+        interpret = not on_tpu
+        # branch-free flag kernel + whole-scan exact fallback, exactly
+        # the single-chip _pallas_scan protocol (beam_search.py); the
+        # kernel ORs every shard's tie-overflow row flag into ys, so
+        # one shard's uncertain local top-W triggers the exact re-run
+        def run_mode(sel_mode):
+            run = _make_fused_scan_run(B, W, V, blank_id, n, axis, mesh,
+                                       interpret, sel_mode)
+            return shard_map(run, mesh=mesh, in_specs=(repl, repl),
+                             out_specs=(repl, repl), check_vma=False)(
+                log_probs, pack_state(init))
+        if interpret:
+            fin, packed_ys = run_mode("exact")
+        else:
+            fin, packed_ys = run_mode("flag")
+            tie_overflow = jnp.any(packed_ys[:, :, :W] < 0)
+            fin, packed_ys = lax.cond(
+                tie_overflow, lambda _: run_mode("exact"),
+                lambda _: (fin, packed_ys), 0)
+        final = _unpack_final(fin, B, W)
+        tokens, timesteps, _ = _traceback(packed_ys[:, :, :W],
+                                          final.length, L, impl="pallas")
+        return _result(final, tokens, timesteps, L, "prefix",
+                       log_domain=True)
+    if tp_impl == "fused_frame":
+        interpret = not on_tpu
         pack = tp_pack(V, n, W)
         run = _make_fused_run(B, W, V, blank_id, n, axis, pack, interpret)
         run_sharded = shard_map(run, mesh=mesh, in_specs=(repl, repl),

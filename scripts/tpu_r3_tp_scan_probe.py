@@ -1,9 +1,12 @@
-"""Round-3 follow-up: time the fused TP decode path on a hardware mesh
-of 1 after the traceback vmem_limit fix (round3 probe item 4c OOMed:
-Mosaic double-buffered the persistent traceback output blocks only in
-the shard_map-inlined module, 24.3 MB > the default 16 MB limit).
+"""Round-3: whole-scan TP decode kernel (fused_tp_scan) on a hardware
+mesh of 1 — compile proof, bit-parity vs the single-chip matched merge,
+and flagship timing. At n == 1 every exchange instruction is statically
+elided, so this measures the TP program's true per-shard cost: the
+verdict target is sharded flagship decode <= single-chip 72.5 ms e2e
+(ties allowed — the n > 1 win is V-independence + ICI-overlapped
+exchange, validated in interpret-mode simulation).
 
-Run: PYTHONPATH=/root/repo timeout 1800 python scripts/tpu_r3_tp_time.py
+Run: timeout 1800 python scripts/tpu_r3_tp_scan_probe.py
 """
 
 import time
@@ -43,22 +46,29 @@ def main():
     T, B, V, W = 200, 256, 47, 100
     x = rng.standard_normal((T, B, V)).astype(np.float32)
     lp = jnp.asarray(x - np.log(np.exp(x).sum(-1, keepdims=True)))
-
     mesh = make_mesh({"model": 1})
+
+    # bit-parity at T=40 first (cheaper compile of the same program
+    # structure; any kernel failure aborts before the timed run)
     got = ctc_beam_search_tp(lp[:40], beam_width=W, mesh=mesh,
-                             max_len=64, tp_impl="fused_frame")
+                             max_len=64, tp_impl="fused")
     ref = ctc_beam_search(lp[:40], beam_width=W, max_len=64,
                           merge_impl="matched")
     ok = (np.array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
           and np.array_equal(np.asarray(got.scores),
-                             np.asarray(ref.scores)))
-    log(f"TP fused bit-parity (T=40): {ok}")
+                             np.asarray(ref.scores))
+          and np.array_equal(np.asarray(got.lengths),
+                             np.asarray(ref.lengths)))
+    log(f"whole-scan TP bit-parity vs matched (T=40): {ok}")
+    assert ok
 
     t = timeit(lambda: ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
-                                          max_len=256, tp_impl="fused_frame"),
-               iters=3)
-    log(f"TP fused per-frame path e2e (mesh of 1, incl. per-frame "
-        f"kernel dispatch + degenerate all_gather): {t * 1e3:.1f} ms")
+                                          max_len=256, tp_impl="fused"))
+    log(f"whole-scan TP decode e2e (mesh of 1, flagship): {t*1e3:.1f} ms")
+
+    # reference points on the same session
+    t1 = timeit(lambda: ctc_beam_search(lp, beam_width=W, max_len=256))
+    log(f"single-chip decode e2e (auto dispatch): {t1*1e3:.1f} ms")
     log("DONE")
 
 

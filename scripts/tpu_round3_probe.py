@@ -101,12 +101,12 @@ def main():
                                           max_len=256))
     log(f"4a. TP decode n=1 auto (whole-scan kernel): {t * 1e3:.1f} ms")
     got = ctc_beam_search_tp(lp_s, beam_width=W, mesh=mesh, max_len=64,
-                             tp_impl="fused")
+                             tp_impl="fused_frame")
     ok = (np.array_equal(np.asarray(got.tokens), np.asarray(b.tokens))
           and np.array_equal(np.asarray(got.scores), np.asarray(b.scores)))
     log(f"4b. TP fused per-frame path bit-parity (T=40, mesh of 1): {ok}")
     t = timeit(lambda: ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
-                                          max_len=256, tp_impl="fused"),
+                                          max_len=256, tp_impl="fused_frame"),
                iters=3)
     log(f"4c. TP fused per-frame path (mesh of 1, incl. per-frame "
         f"kernel dispatch + degenerate all_gather): {t * 1e3:.1f} ms")

@@ -47,10 +47,38 @@ def test_tp_decode_equals_single_chip(n_tp, W, V, T, B):
     (3, 10, 29, 6, 2),     # n does not divide V
     (4, 100, 47, 5, 2),    # flagship shape ratios -> pack=4 kernel
 ])
-def test_tp_fused_decode_equals_single_chip(n_tp, W, V, T, B):
-    """The fused-kernel TP path (per-shard Pallas local frame + one
-    all_gather winner exchange per frame) is bit-identical to the
-    single-chip matched-merge decoder."""
+def test_tp_fused_frame_decode_equals_single_chip(n_tp, W, V, T, B):
+    """The per-frame fused TP path (per-shard Pallas local frame + one
+    all_gather winner exchange per frame — the any-V fallback) is
+    bit-identical to the single-chip matched-merge decoder."""
+    rng = np.random.default_rng(n_tp * 31 + V)
+    lp = jnp.asarray(rand_logprobs(rng, T, B, V))
+    mesh = make_mesh({"model": n_tp})
+
+    want = ctc_beam_search(lp, beam_width=W, max_len=32,
+                           algorithm="prefix", merge_impl="matched")
+    got = ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
+                             tp_impl="fused_frame")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(want.lengths))
+    np.testing.assert_array_equal(np.asarray(got.scores),
+                                  np.asarray(want.scores))
+
+
+@pytest.mark.parametrize("n_tp,W,V,T,B", [
+    (4, 100, 47, 5, 2),    # flagship shape ratios -> pack=4 local frame
+    (3, 10, 29, 6, 2),     # n does not divide V (uneven [lo, hi) slices)
+    pytest.param(2, 16, 129, 5, 2, marks=pytest.mark.slow),  # VPF=256
+    pytest.param(4, 8, 12, 4, 40, marks=pytest.mark.slow),   # 2 b-tiles
+])
+def test_tp_fused_scan_decode_equals_single_chip(n_tp, W, V, T, B):
+    """The whole-scan TP kernel (fused_tp_scan: all frames in one
+    Pallas program per shard, per-frame winner exchange via in-kernel
+    remote DMAs, bitonic top-128 merge fold) is bit-identical to the
+    single-chip matched-merge decoder — validated here on a simulated
+    multi-device ICI (Pallas TPU interpret mode)."""
     rng = np.random.default_rng(n_tp * 31 + V)
     lp = jnp.asarray(rand_logprobs(rng, T, B, V))
     mesh = make_mesh({"model": n_tp})
@@ -67,7 +95,25 @@ def test_tp_fused_decode_equals_single_chip(n_tp, W, V, T, B):
                                   np.asarray(want.scores))
 
 
-def test_tp_fused_tie_heavy():
+def test_tp_fused_scan_multi_axis_mesh():
+    """Whole-scan TP decode on a ('data', 'model') mesh: the exchange
+    group is the model row, flat LOGICAL device ids account for the
+    data coordinate."""
+    rng = np.random.default_rng(5)
+    lp = jnp.asarray(rand_logprobs(rng, 5, 2, 12))
+    mesh = make_mesh({"data": 2, "model": 2})
+    want = ctc_beam_search(lp, beam_width=8, max_len=32,
+                           merge_impl="matched")
+    got = ctc_beam_search_tp(lp, beam_width=8, mesh=mesh, max_len=32,
+                             tp_impl="fused")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.scores),
+                                  np.asarray(want.scores))
+
+
+@pytest.mark.parametrize("tp_impl", ["fused", "fused_frame"])
+def test_tp_fused_tie_heavy(tp_impl):
     """Uniform logits: every candidate ties every frame — the kernel's
     exact tie-quota path and the cross-shard gidx tie-break must still
     reproduce lax.top_k's stable order."""
@@ -77,7 +123,7 @@ def test_tp_fused_tie_heavy():
     want = ctc_beam_search(lp, beam_width=W, max_len=32,
                            merge_impl="matched")
     got = ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
-                             tp_impl="fused")
+                             tp_impl=tp_impl)
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))
     np.testing.assert_array_equal(np.asarray(got.scores),
@@ -103,8 +149,10 @@ def test_all_paths_array_equal():
                                   merge_impl="pallas"),
         "tp": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
                                  tp_impl="xla"),
-        "tp_fused": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
-                                       max_len=32, tp_impl="fused"),
+        "tp_frame": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
+                                       max_len=32, tp_impl="fused_frame"),
+        "tp_scan": ctc_beam_search_tp(lp, beam_width=W, mesh=mesh,
+                                      max_len=32, tp_impl="fused"),
     }
     ref = outs["matched"]
     for name, got in outs.items():
