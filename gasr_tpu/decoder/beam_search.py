@@ -703,14 +703,18 @@ def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
     """Fused-kernel replacement for the matched-merge lax.scan; returns
     (final _BeamState, packed_ys) array-equal to the XLA path.
 
-    Runs the BRANCH-FREE sel_mode="flag" kernel (DEAD-de-tied slack
-    selection, no per-frame lax.cond — the cond's existence alone cost
-    ~4.3 ms/200 frames on v5e). The flag kernel is exact except when
-    > 128 REAL same-score candidates straddle one row's selection
-    threshold; such frames set ys bit 31, and the whole scan re-runs
-    once with the always-correct sel_mode="exact" kernel (a whole-scan
-    lax.cond: production inputs never take it, adversarial/tie-test
-    inputs pay one 2x re-decode for exact lax.top_k parity)."""
+    Runs the sel_mode="auto" kernel: a per-frame lax.cond between the
+    slack and exact-tie selection paths. The branch-free "flag" kernel
+    (DEAD-de-tied slack + whole-scan exact re-run on ys bit 31) was
+    the r3 default for one bench run and is KEPT AS A KNOB, not the
+    default — documented negative result: the official bench's logits
+    carry real-score tie mass (the reference's final-ReLU quirk emits
+    exact-zero logits, compat_final_relu), so the flag kernel's
+    whole-scan fallback fired every decode and cost 2x (138.8 ms vs
+    the auto kernel's 76 ms at flagship). The flag kernel's ~4 ms win
+    exists only on tie-free inputs (73.2 vs 77.0 same-session probe,
+    scripts/tpu_r3_breakdown.py); the auto kernel's per-frame cond is
+    the robust shape of the same idea and is always exact."""
     from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
                                                   pack_state)
     B = init.s1.shape[0]
@@ -723,18 +727,13 @@ def _pallas_scan(log_probs, init: _BeamState, W: int, V: int,
                                    lm_q=lm_bias, sel_mode=sel_mode)
 
     if interpret:
-        # CPU tests: interpret-mode tracing unrolls the grid, so the
-        # two-kernel flag pipeline would double every decode test's
-        # trace time. The always-exact kernel is single-trace and
-        # always correct; the flag pipeline's semantics are covered by
-        # direct-kernel tests (test_pallas_decode.py::test_flag_mode_*)
-        # and verified on hardware (scripts/tpu_round3_probe.py).
+        # CPU tests: interpret-mode tracing unrolls the grid; the
+        # always-exact kernel is single-trace and always correct. The
+        # flag pipeline's semantics stay covered by direct-kernel
+        # tests (test_pallas_decode.py::test_flag_mode_*).
         out = run("exact")
     else:
-        out = run("flag")
-        tie_overflow = jnp.any(out.ys < 0)
-        out = lax.cond(tie_overflow, lambda _: run("exact"),
-                       lambda _: out, 0)
+        out = run("auto")
     final = _BeamState(
         h1=out.h1, h2=out.h2, hp1=out.hp1, hp2=out.hp2,
         last=out.last, length=out.length,

@@ -129,9 +129,57 @@ def _take1(x, idx):
     return jnp.take_along_axis(x, idx, axis=1)
 
 
+def _bitonic_sort_asc_keys(keys, payload):
+    """Bitonic sort of the last dim (= 128 lanes) ASCENDING by the
+    lexicographic tuple `keys` (list of int32 [Bt, S] arrays; signed
+    compares — callers XOR the sign bit for unsigned order), carrying
+    `payload` (list of int32 arrays). Returns (keys, payload) sorted.
+    Mosaic-safe: same-shape take_along_axis partner exchange + boolean
+    algebra (no where-on-bools)."""
+    arrs = list(keys) + list(payload)
+    nk = len(keys)
+    lanes = lax.broadcasted_iota(jnp.int32, arrs[0].shape, 1)
+    log_n = int(np.log2(S))
+    for kk in range(1, log_n + 1):
+        asc = ((lanes >> kk) & 1) == 0
+        for j in range(kk - 1, -1, -1):
+            d = 1 << j
+            partner = lanes ^ d
+            p = [_take1(a, partner) for a in arrs]
+            is_lower = (lanes & d) == 0
+            gt = jnp.zeros(arrs[0].shape, jnp.bool_)
+            eq = jnp.ones(arrs[0].shape, jnp.bool_)
+            for i in range(nk):
+                gt = gt | (eq & (arrs[i] > p[i]))
+                eq = eq & (arrs[i] == p[i])
+            # ascending block: lower lane keeps the smaller element
+            keep = (gt ^ is_lower) == asc
+            arrs = [jnp.where(keep, a, pa) for a, pa in zip(arrs, p)]
+    return arrs[:nk], arrs[nk:]
+
+
+def _lower_bound_live(slf, s1, s2, t1, t2):
+    """Per-lane branchless lower bound over ASCENDING-sorted rows of
+    the composite key (slf, s1, s2): for each (b, k), the first index
+    with key >= (0, t1[b,k], t2[b,k]). slf = 1 marks dead entries
+    (sorted last; never < a live target on the first key). Steps sum
+    to S-1, so pos stays in [0, S-1]; when every element is below the
+    target the caller's equality check rejects position S-1."""
+    pos = jnp.zeros(t1.shape, jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        probe = pos + (step - 1)
+        alf = _take1(slf, probe)
+        a1 = _take1(s1, probe)
+        a2 = _take1(s2, probe)
+        lt = (alf == 0) & ((a1 < t1) | ((a1 == t1) & (a2 < t2)))
+        pos = pos + step * lt.astype(jnp.int32)
+    return pos
+
+
 def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
                 P: int = 1, VPX: int = VP, debug_stage: int = 99,
-                sel_mode: str = "auto", lm=None, tp=None):
+                sel_mode: str = "auto", match_impl: str = "grid",
+                lm=None, tp=None):
     """One beam-search frame transition on in-register field values.
 
     fields: tuple of NF [Bt, S] int32 arrays (float fields bitcast).
@@ -259,14 +307,45 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     live_i = live_i32
     k2 = h2 * 31 + length                           # int32 == uint32 bits
     kp2 = hp2 * 31 + (length - 1)
-    d1 = rows(h1) - jnp.expand_dims(hp1, 1)
-    d2 = rows(k2) - jnp.expand_dims(kp2, 1)
-    eqb = (d1 | d2) == 0                            # [Bt, Wg, S] i1
-    # rev-rank of parent w, zeroed for dead parents: [Bt, Wg, 1] column
-    wrev1 = rows((Wg - lane) * live_i)
-    m = jnp.max(jnp.where(eqb, wrev1, 0), axis=1)   # [Bt, S]
-    has_match = (m * live_i) > 0                    # [Bt, S]
-    match = jnp.where(has_match, Wg - m, 0)
+    if match_impl == "auto":
+        # measured crossover (v5e, scripts/tpu_r3_match_probe.py): the
+        # sorted join's fixed ~520 [Bt, 128] ops beat the grid's ~6
+        # [Bt, Wg, 128] passes once Wg is near full: flagship Wg=112
+        # grid 74.8 -> sorted 67.1 ms/scan; small-W presets keep grid
+        match_impl = "sorted" if Wg >= 88 else "grid"
+    if match_impl == "sorted":
+        # ---- sorted-hash join (r3 experiment): instead of the
+        # O(Wg*S) compare grid, bitonic-sort the slots' own identities
+        # (live-first, (h1, k2) unsigned-ascending, index-ascending)
+        # once per frame, then each slot binary-searches its parent
+        # identity (hp1, kp2) in 7 branchless gather steps. The
+        # lower bound of (0, t1, t2) inside an idx-ascending equal-key
+        # run IS the first live match — the grid path's masked
+        # (Wg - i)·live argmax — so the two impls are bit-equal
+        # (tests/test_pallas_decode.py::test_match_impl_sorted).
+        sgn = np.int32(-(2 ** 31))
+        skeys, _ = _bitonic_sort_asc_keys(
+            [1 - live_i, h1 ^ sgn, k2 ^ sgn, lane], [])
+        slf, s1k, s2k, sidx0 = skeys
+        t1 = hp1 ^ sgn
+        t2 = kp2 ^ sgn
+        pos = _lower_bound_live(slf, s1k, s2k, t1, t2)
+        g_lf = _take1(slf, pos)
+        g1 = _take1(s1k, pos)
+        g2 = _take1(s2k, pos)
+        g_idx = _take1(sidx0, pos)
+        has_match = ((g_lf == 0) & (g1 == t1) & (g2 == t2)
+                     & (live_i > 0))
+        match = jnp.where(has_match, g_idx, 0)
+    else:
+        d1 = rows(h1) - jnp.expand_dims(hp1, 1)
+        d2 = rows(k2) - jnp.expand_dims(kp2, 1)
+        eqb = (d1 | d2) == 0                        # [Bt, Wg, S] i1
+        # rev-rank of holder i, zeroed for dead holders: [Bt, Wg, 1]
+        wrev1 = rows((Wg - lane) * live_i)
+        m = jnp.max(jnp.where(eqb, wrev1, 0), axis=1)   # [Bt, S]
+        has_match = (m * live_i) > 0                    # [Bt, S]
+        match = jnp.where(has_match, Wg - m, 0)
 
     pb_m = _take1(pb, match)
     pnb_m = _take1(pnb, match)
@@ -692,7 +771,7 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
 def _kernel(f_ref, init_ref, *rest, W: int, V: int,
             blank_id: int, Wg: int, P: int, VPX: int, TBLK: int,
             T_real: int, debug_stage: int = 99, sel_mode: str = "auto",
-            has_lm: bool = False):
+            match_impl: str = "grid", has_lm: bool = False):
     if has_lm:
         lm_ref, ys_ref, fin_ref, st = rest
         lm = tuple(lm_ref[h] for h in range(P))
@@ -714,7 +793,8 @@ def _kernel(f_ref, init_ref, *rest, W: int, V: int,
     for j in range(TBLK):
         ys_row, new_fields, _ = _frame_math(
             f_ref[j], fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P,
-            VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode, lm=lm)
+            VPX=VPX, debug_stage=debug_stage, sel_mode=sel_mode,
+            match_impl=match_impl, lm=lm)
         ys_ref[j] = ys_row
         if new_fields is None:      # debug truncation: state untouched
             break
@@ -731,7 +811,7 @@ def _kernel(f_ref, init_ref, *rest, W: int, V: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "V", "blank_id", "block_b", "interpret", "debug_stage", "pack",
-    "tblk", "sel_mode"))
+    "tblk", "sel_mode", "match_impl"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
                         block_b: int = 24,
@@ -740,6 +820,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         pack: int = 0,
                         tblk: int = 1,
                         sel_mode: str = "auto",
+                        match_impl: str = "auto",
                         lm_q=None) -> FusedDecodeOut:
     """Run the whole prefix beam-search scan as one Pallas program.
 
@@ -834,6 +915,7 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
         functools.partial(_kernel, W=W, V=V, blank_id=blank_id,
                           Wg=Wg, P=pack, VPX=VPX, TBLK=TBLK, T_real=T,
                           debug_stage=debug_stage, sel_mode=sel_mode,
+                          match_impl=match_impl,
                           has_lm=lm_q is not None),
         grid=grid,
         in_specs=in_specs,
@@ -1087,7 +1169,8 @@ def _merge2_top(ka, ga, pa, kb, gb, pb):
 def _tp_scan_kernel(lohi_ref, f_loc_ref, f_full_ref, init_ref,
                     ys_ref, fin_ref, st, *comm, W: int, V: int,
                     blank_id: int, Wg: int, P: int, VPF: int, n: int,
-                    axis: str, mesh_axes, sel_mode: str):
+                    axis: str, mesh_axes, sel_mode: str,
+                    match_impl: str):
     """One (batch-tile, frame) grid step of the whole-scan TP decode."""
     t = pl.program_id(1)
 
@@ -1115,7 +1198,7 @@ def _tp_scan_kernel(lohi_ref, f_loc_ref, f_full_ref, init_ref,
     tp = _TPInputs(lo=lo, hi=hi, f_last=f_last, f_blank=f_blank)
     ys_row, new_fields, sidx = _frame_math(
         f_loc, fields, W=W, V=V, blank_id=blank_id, Wg=Wg, P=P, VPX=VP,
-        sel_mode=sel_mode, tp=tp)
+        sel_mode=sel_mode, match_impl=match_impl, tp=tp)
 
     if n == 1:
         # degenerate mesh: local top-W IS the global top-W — no
@@ -1252,12 +1335,13 @@ def _tp_scan_kernel(lohi_ref, f_loc_ref, f_full_ref, init_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "V", "blank_id", "n", "axis", "mesh_axes", "pack", "block_b",
-    "sel_mode", "interpret"))
+    "sel_mode", "match_impl", "interpret"))
 def fused_tp_scan(f_loc: jax.Array, f_full: jax.Array,
                   init_packed: jax.Array, lo_hi: jax.Array,
                   W: int, V: int, blank_id: int, n: int, axis: str,
                   mesh_axes, pack: int = 0, block_b: int = 0,
-                  sel_mode: str = "auto", interpret: bool = False):
+                  sel_mode: str = "auto", match_impl: str = "auto",
+                  interpret: bool = False):
     """Whole-scan vocab-sharded beam search: one Pallas program per
     shard, per-frame winner exchange via in-kernel remote DMAs.
 
@@ -1318,7 +1402,7 @@ def fused_tp_scan(f_loc: jax.Array, f_full: jax.Array,
         functools.partial(
             _tp_scan_kernel, W=W, V=V, blank_id=blank_id, Wg=Wg,
             P=pack, VPF=VPF, n=n, axis=axis, mesh_axes=mesh_axes,
-            sel_mode=sel_mode),
+            sel_mode=sel_mode, match_impl=match_impl),
         grid=(Bp // block_b, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1471,18 +1555,19 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
     B = B0 + b_pad
     nB, nT = B // BBLK, Tp // TBLK
 
-    # Scoped-VMEM limit sized from the actual block footprint. Mosaic
-    # MAY double-buffer the persistent output blocks (observed only
-    # when this program is inlined into the shard_map TP decode module
-    # — the standalone module compiles single-buffered), so budget for
-    # 2x outputs + 2x inputs + scratch + headroom; v5e has 128 MB of
-    # physical VMEM and the default 16 MB limit is what OOMed the TP
-    # path (scripts/tpu_round3_probe.py item 4c).
-    out_bytes = (2 * BBLK * Lp * S + BBLK * S) * 4
+    # Scoped-VMEM limit sized from the actual block footprint. Mosaic's
+    # stack usage for this kernel is CONTEXT-DEPENDENT: standalone it
+    # compiles in ~5 [BBLK, Lp, S] blocks, but inlined into the
+    # shard_map TP decode module it double-buffers the persistent
+    # output blocks (scripts/tpu_round3_probe.py item 4c), and inlined
+    # into jit(streaming_step) the measured stack need was 57.22 MB at
+    # BBLK=40/Lp=264 (~10.6 blocks — the r3 streaming-bench OOM). The
+    # budget must cover the worst observed context: 14 blocks +
+    # inputs + headroom, capped under v5e's 128 MB physical VMEM.
+    blk1 = BBLK * Lp * S * 4                # one [BBLK, Lp, S] buffer
     in_bytes = (TBLK * BBLK * S + BBLK * S) * 4
     vmem_budget = min(110 * 2**20,
-                      2 * out_bytes + 2 * in_bytes
-                      + 2 * BBLK * S * 4 + 4 * 2**20)
+                      14 * blk1 + 2 * in_bytes + 6 * 2**20)
 
     tok, trel, cur_fin = pl.pallas_call(
         functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp),

@@ -410,24 +410,20 @@ def ctc_beam_search_tp(
     repl = P()
     if tp_impl == "fused":
         interpret = not on_tpu
-        # branch-free flag kernel + whole-scan exact fallback, exactly
-        # the single-chip _pallas_scan protocol (beam_search.py); the
-        # kernel ORs every shard's tie-overflow row flag into ys, so
-        # one shard's uncertain local top-W triggers the exact re-run
+        # sel_mode mirrors the single-chip _pallas_scan choice: "auto"
+        # (per-frame cond, always exact) on hardware — the flag+
+        # whole-scan-fallback protocol costs 2x on tie-heavy logits
+        # (see _pallas_scan's documented negative result); "exact" in
+        # interpret mode (single trace). The kernel still ORs every
+        # shard's flag-mode row flags into ys for callers that opt
+        # into sel_mode="flag" explicitly.
         def run_mode(sel_mode):
             run = _make_fused_scan_run(B, W, V, blank_id, n, axis, mesh,
                                        interpret, sel_mode)
             return shard_map(run, mesh=mesh, in_specs=(repl, repl),
                              out_specs=(repl, repl), check_vma=False)(
                 log_probs, pack_state(init))
-        if interpret:
-            fin, packed_ys = run_mode("exact")
-        else:
-            fin, packed_ys = run_mode("flag")
-            tie_overflow = jnp.any(packed_ys[:, :, :W] < 0)
-            fin, packed_ys = lax.cond(
-                tie_overflow, lambda _: run_mode("exact"),
-                lambda _: (fin, packed_ys), 0)
+        fin, packed_ys = run_mode("exact" if interpret else "auto")
         final = _unpack_final(fin, B, W)
         tokens, timesteps, _ = _traceback(packed_ys[:, :, :W],
                                           final.length, L, impl="pallas")

@@ -237,3 +237,32 @@ def test_pallas_vocab_tiled_tie_heavy():
     got = ctc_beam_search(lp, beam_width=12, merge_impl="pallas",
                           max_len=12)
     _assert_same(got, ref)
+
+
+@pytest.mark.parametrize("W,V,T,B,tie", [
+    (8, 13, 6, 2, False),
+    (100, 47, 5, 2, False),    # flagship ratios (pack=2)
+    (12, 13, 7, 2, True),      # uniform logits: hash-twin tie mass
+])
+def test_match_impl_sorted(W, V, T, B, tie):
+    """The sorted-hash parent match (bitonic 4-key sort + branchless
+    lower-bound join) is bit-equal to the O(Wg*S) compare-grid match
+    on every output field, including hash-twin ties (first-live-match
+    semantics via the idx-ascending equal-key run)."""
+    from gasr_tpu.decoder.beam_search import _init_beam
+    from gasr_tpu.ops.pallas.fused_decode import (fused_prefix_decode,
+                                                  pack_state)
+    rng = np.random.default_rng(hash(("ms", W, V)) % (2**32))
+    if tie:
+        lp = jnp.asarray(np.full((T, B, V), -np.log(V), np.float32))
+    else:
+        lp = _logits(rng, T, B, V)
+    init = pack_state(_init_beam(B, W, True))
+    a = fused_prefix_decode(lp, init, W=W, V=V, interpret=True,
+                            sel_mode="exact", match_impl="grid")
+    b = fused_prefix_decode(lp, init, W=W, V=V, interpret=True,
+                            sel_mode="exact", match_impl="sorted")
+    for f in a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)),
+                                      err_msg=f)
