@@ -814,7 +814,7 @@ def _kernel(f_ref, init_ref, *rest, W: int, V: int,
     "tblk", "sel_mode", "match_impl"))
 def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
                         W: int, V: int, blank_id: int = 0,
-                        block_b: int = 24,
+                        block_b: int = 32,
                         interpret: bool = False,
                         debug_stage: int = 99,
                         pack: int = 0,
@@ -858,9 +858,8 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
         assert pack == 1, "vocab tiling (V > 128) excludes beam packing"
         assert W <= 64, "V > 128 requires W <= 64 (chunk arrays cap at " \
             "128 lanes: Cg = Wg*VPX/128 <= 128)"
-        # grid temporaries double with VPX: halve the batch tile to
-        # stay inside the 16 MB scoped-VMEM budget (block_b=32 OOMed
-        # at VPX=128; 16 at VPX=256 is the same footprint)
+        # grid temporaries double with VPX: halve the batch tile
+        # (keeps the footprint near the VPX=128 default's)
         block_b = min(block_b, 8)
     if interpret:
         # CPU interpret mode (tests) executes the kernel body per grid
@@ -930,6 +929,14 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
             jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((NF, block_b, S), jnp.int32)],
+        # grid temporaries scale ~linearly with the batch tile; the
+        # default 16 MB scoped limit fits block_b=24 (the r2 sweep's
+        # OOM at 32 was the LIMIT, not physical VMEM — v5e carries
+        # 128 MB), so scale the allowance with the tile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 * 2**20,
+                                     (16 * 2**20) * block_b // 24
+                                     + 4 * 2**20))),
         interpret=interpret,
     )(*operands)
     if t_pad:
