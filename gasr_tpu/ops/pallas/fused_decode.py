@@ -1372,7 +1372,7 @@ def fused_tp_scan(f_loc: jax.Array, f_full: jax.Array,
     Wg = max(8 * pack, _round_up(W, 8 * pack))
     assert pack in (1, 2, 4) and Wg <= S and W <= S
     if block_b == 0:
-        block_b = 24 if n <= 4 else 16
+        block_b = 32 if n <= 4 else 16
     if interpret:
         block_b = min(block_b, max(8, _round_up(B, 8)))
     b_pad = (-B) % block_b
@@ -1397,7 +1397,10 @@ def fused_tp_scan(f_loc: jax.Array, f_full: jax.Array,
     # inlined into shard_map modules)
     comm_bytes = 4 * block_b * S * (NFX * (1 + 2 * n) if n > 1 else 0)
     io_bytes = 4 * block_b * (VP + VPF + (2 * NF + 2) * S)
-    limit = min((16 << 20) + 2 * comm_bytes + 4 * io_bytes, 96 << 20)
+    # base allowance scales with the batch tile like fused_prefix_decode
+    # (grid temporaries are ~linear in block_b; 16 MB fits 24)
+    limit = min((16 << 20) * block_b // 24 + (4 << 20)
+                + 2 * comm_bytes + 4 * io_bytes, 96 << 20)
 
     if interpret and n > 1:
         # remote DMAs need the TPU interpreter (simulated ICI), not the
