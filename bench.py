@@ -46,12 +46,33 @@ def _sync(x):
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
+def _spread_stats(samples):
+    """Per-rep sample list -> {median, min, max, iqr} (seconds)."""
+    import statistics
+    ss = sorted(samples)
+    n = len(ss)
+    med = statistics.median(ss)
+    if n >= 4:
+        q1 = statistics.median(ss[: n // 2])
+        q3 = statistics.median(ss[-(n // 2):])
+        iqr = q3 - q1
+    else:
+        iqr = ss[-1] - ss[0]
+    return {"median": med, "min": ss[0], "max": ss[-1], "iqr": iqr,
+            "reps": n}
+
+
 def measure_ours(cfg, iters: int, decode: bool = True,
-                 adaptive: bool = False):
+                 adaptive: bool = False, reps: int = 5):
     """adaptive=True: `iters` is re-derived per workload so each timed
-    loop covers >= ~2 s of device time — small presets are otherwise
+    loop covers >= ~1 s of device time — small presets are otherwise
     dominated by the remote-tunnel dispatch latency (r2 lesson:
-    bilstm_2x256 printed 19.8 ms at 3 iters vs 5.45 ms standalone)."""
+    bilstm_2x256 printed 19.8 ms at 3 iters vs 5.45 ms standalone).
+
+    reps: the timed loop runs `reps` times and per-phase times report
+    the MEDIAN across reps plus min/max/IQR (VERDICT r3 weak #1: a
+    single timed loop's mean moved ~8% between sessions — the same
+    order as real kernel wins — so sub-10% claims need a spread)."""
     import math
     import jax
     import jax.numpy as jnp
@@ -60,8 +81,10 @@ def measure_ours(cfg, iters: int, decode: bool = True,
 
     params = model_init(cfg, jax.random.PRNGKey(0))
 
+    cd = None if cfg.compute_dtype == "float32" else cfg.compute_dtype
     fwd = jax.jit(lambda p, x: model_apply(cfg, p, x,
-                                           rnn_impl=cfg.rnn_impl))
+                                           rnn_impl=cfg.rnn_impl,
+                                           compute_dtype=cd))
 
     def dec(lp):
         return ctc_beam_search(lp, beam_width=cfg.beam_width,
@@ -94,8 +117,9 @@ def measure_ours(cfg, iters: int, decode: bool = True,
             r = dec(r)
         _sync(r)
         t_est = max(time.perf_counter() - t0, 1e-4)
-        iters = min(200, max(3, math.ceil(2.0 / t_est)))
-        _log(f"adaptive iters: ~{t_est * 1e3:.1f} ms/iter -> {iters}")
+        iters = min(100, max(3, math.ceil(1.0 / t_est)))
+        _log(f"adaptive iters: ~{t_est * 1e3:.1f} ms/iter -> {iters} "
+             f"x {reps} reps")
     xs = [x0]
     for i in range(iters - 1):
         key, k1 = jax.random.split(key)
@@ -104,23 +128,32 @@ def measure_ours(cfg, iters: int, decode: bool = True,
     _log("warmup done, timing")
 
     # timed loops: N dispatches then one hard sync (throughput protocol;
-    # the async queue pipelines like production serving would)
-    t0 = time.perf_counter()
-    lps = [fwd(params, x) for x in xs]
-    _sync(lps[-1])
-    t1 = time.perf_counter()
-    t_fwd = (t1 - t0) / iters
-
-    t_dec = 0.0
-    if decode:
+    # the async queue pipelines like production serving would), repeated
+    # `reps` times for a spread
+    fwd_reps, dec_reps = [], []
+    for rep in range(reps):
         t0 = time.perf_counter()
-        results = [dec(l) for l in lps]
-        _sync(results[-1])
+        lps = [fwd(params, x) for x in xs]
+        _sync(lps[-1])
         t1 = time.perf_counter()
-        t_dec = (t1 - t0) / iters
-    _log(f"ours: fwd={t_fwd:.4f}s dec={t_dec:.4f}s per iter")
+        fwd_reps.append((t1 - t0) / iters)
+
+        if decode:
+            t0 = time.perf_counter()
+            results = [dec(l) for l in lps]
+            _sync(results[-1])
+            t1 = time.perf_counter()
+            dec_reps.append((t1 - t0) / iters)
+    fstats = _spread_stats(fwd_reps)
+    dstats = _spread_stats(dec_reps) if decode else None
+    t_fwd = fstats["median"]
+    t_dec = dstats["median"] if decode else 0.0
+    _log(f"ours: fwd={t_fwd:.4f}s dec={t_dec:.4f}s per iter (median of "
+         f"{reps}; fwd range {fstats['min']:.4f}-{fstats['max']:.4f})")
     return {"forward_s": t_fwd, "decode_s": t_dec,
-            "overall_s": t_fwd + t_dec}
+            "overall_s": t_fwd + t_dec,
+            "forward_stats": fstats, "decode_stats": dstats,
+            "iters": iters}
 
 
 def measure_torch_baseline(cfg, iters: int, cache_path: str):
@@ -187,11 +220,12 @@ REPORT_PRESETS = ["reference_large", "bilstm_2x256", "deepspeech2",
                   "conformer_s", "conformer_l"]
 
 
-def measure_streaming(cfg, chunk_frames: int, iters: int):
+def measure_streaming(cfg, chunk_frames: int, iters: int, reps: int = 5):
     """Chunked streaming decode at the preset shape: forward once, then
     time `iters` full streaming decodes (T/chunk_frames streaming_step
     calls each, beam+prefix state carried across chunks). Overhead vs
-    the batch decode row quantifies the streaming protocol cost."""
+    the batch decode row quantifies the streaming protocol cost.
+    Returns per-utterance-decode spread stats over `reps` timed loops."""
     import jax
     from gasr_tpu.models import model_apply, model_init
     from gasr_tpu.decoder.beam_search import streaming_init, streaming_step
@@ -216,12 +250,15 @@ def measure_streaming(cfg, chunk_frames: int, iters: int):
 
     _log(f"compiling streaming decode ({n_chunks} x {chunk_frames})")
     _sync(run_stream())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run_stream()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run_stream()
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / iters)
+    return _spread_stats(samples)
 
 
 def _degrade_mesh(cfg):
@@ -245,7 +282,9 @@ def _degrade_mesh(cfg):
 def run_report(args):
     """Bench every model-family preset; write RESULTS.md + print JSON."""
     from gasr_tpu.config import PRESETS
+    from gasr_tpu.runtime.flops import device_peak_flops, model_fwd_flops
     import jax
+    peak = device_peak_flops()
     rows = []
     for name in REPORT_PRESETS:
         cfg = _degrade_mesh(PRESETS[name])
@@ -254,25 +293,41 @@ def run_report(args):
                          decode=not args.no_decode,
                          adaptive=args.iters is None)
         audio = cfg.batch_size * cfg.seg_len * FRAME_SHIFT_S
+        flops = model_fwd_flops(cfg)
+        mfu = (flops / r["forward_s"] / peak) if peak else None
+        fs, ds = r["forward_stats"], r["decode_stats"]
         rows.append({
             "preset": name, "model": cfg.model,
             "batch": cfg.batch_size, "T": cfg.seg_len,
             "beam": cfg.beam_width,
+            "dtype": cfg.compute_dtype,
             "forward_ms": round(r["forward_s"] * 1e3, 2),
+            "forward_ms_range": [round(fs["min"] * 1e3, 2),
+                                 round(fs["max"] * 1e3, 2)],
             "decode_ms": round(r["decode_s"] * 1e3, 2),
+            "decode_ms_range": ([round(ds["min"] * 1e3, 2),
+                                 round(ds["max"] * 1e3, 2)]
+                                if ds else None),
+            "reps": fs["reps"],
+            "fwd_tflop": round(flops / 1e12, 3),
+            "mfu_pct": round(mfu * 100, 1) if mfu is not None else None,
             "audio_s_per_s": round(audio / r["overall_s"], 1),
         })
     # streaming protocol row: flagship decode in Tc=20 chunks
     scfg = PRESETS["reference_large"]
     _log("=== streaming (flagship decode, Tc=20 chunks) ===")
-    t_stream = measure_streaming(scfg, chunk_frames=20, iters=args.iters or 3)
+    st = measure_streaming(scfg, chunk_frames=20, iters=args.iters or 3)
     audio = scfg.batch_size * scfg.seg_len * FRAME_SHIFT_S
     rows.append({
         "preset": "streaming_Tc20", "model": scfg.model,
         "batch": scfg.batch_size, "T": scfg.seg_len,
-        "beam": scfg.beam_width, "forward_ms": 0.0,
-        "decode_ms": round(t_stream * 1e3, 2),
-        "audio_s_per_s": round(audio / t_stream, 1),
+        "beam": scfg.beam_width, "dtype": scfg.compute_dtype,
+        "forward_ms": 0.0, "forward_ms_range": None,
+        "decode_ms": round(st["median"] * 1e3, 2),
+        "decode_ms_range": [round(st["min"] * 1e3, 2),
+                            round(st["max"] * 1e3, 2)],
+        "reps": st["reps"], "fwd_tflop": None, "mfu_pct": None,
+        "audio_s_per_s": round(audio / st["median"], 1),
     })
     dev = str(jax.devices()[0])
     try:
@@ -284,21 +339,35 @@ def run_report(args):
     except Exception:
         rev = "unknown"
     lines = [
-        "# Benchmark results (per-iteration means)", "",
+        "# Benchmark results (per-iteration medians +- spread)", "",
         f"Device: {dev}  |  commit: {rev}", "",
         "Protocol: `python bench.py --report`; iterations per preset are",
-        "sized adaptively so each timed loop covers >= ~2 s (hard D2H",
-        "sync at loop end) — small presets are no longer distorted by",
-        "the remote-tunnel dispatch latency. The streaming row times the",
-        "flagship decode fed in Tc=20 chunks (beam + prefix state",
+        "sized adaptively so each timed loop covers >= ~1 s (hard D2H",
+        "sync at loop end), and every preset runs 5 timed loops — the",
+        "table reports the MEDIAN with the [min, max] range so run-to-",
+        "run tunnel variance (~5-8% observed across sessions) is visible",
+        "next to every claim. MFU = analytic fwd FLOPs / median fwd time",
+        "/ chip bf16 peak (runtime/flops.py). The streaming row times",
+        "the flagship decode fed in Tc=20 chunks (beam + prefix state",
         "carried across streaming_step calls; fwd column n/a).", "",
-        "| preset | model | B | T | beam | fwd ms | decode ms | audio-s/s |",
-        "|---|---|---|---|---|---|---|---|",
+        "| preset | model | B | T | beam | dtype | fwd ms [min,max] | "
+        "decode ms [min,max] | TFLOP | MFU% | audio-s/s |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
+
+    def _rng(med, rng):
+        if rng is None:
+            return f"{med}"
+        return f"{med} [{rng[0]}, {rng[1]}]"
+
     for r in rows:
         lines.append(
             f"| {r['preset']} | {r['model']} | {r['batch']} | {r['T']} | "
-            f"{r['beam']} | {r['forward_ms']} | {r['decode_ms']} | "
+            f"{r['beam']} | {r['dtype']} | "
+            f"{_rng(r['forward_ms'], r['forward_ms_range'])} | "
+            f"{_rng(r['decode_ms'], r['decode_ms_range'])} | "
+            f"{r['fwd_tflop'] if r['fwd_tflop'] is not None else '-'} | "
+            f"{r['mfu_pct'] if r['mfu_pct'] is not None else '-'} | "
             f"{r['audio_s_per_s']} |")
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALING.json")

@@ -51,9 +51,14 @@ def _ln_init(d: int) -> dict:
 
 
 def _ln(p: dict, x: jax.Array) -> jax.Array:
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+    """LayerNorm. Statistics always accumulate in f32 (bf16 mean/var is
+    the classic mixed-precision footgun); output returns at x.dtype so a
+    bf16 activation stream stays bf16."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+    return y.astype(x.dtype)
 
 
 def _ffn_init(key, d: int, mult: int) -> dict:
@@ -63,11 +68,19 @@ def _ffn_init(key, d: int, mult: int) -> dict:
             "w2": linear_init(k2, d * mult, d)}
 
 
-def _ffn(p: dict, x: jax.Array) -> jax.Array:
+def _lin(p: dict, x: jax.Array, cd) -> jax.Array:
+    """linear() at the block compute dtype: matmul inputs at cd, f32
+    accumulate, output re-emitted at cd so the activation stream (and
+    therefore every fusion-boundary HBM buffer) stays half-width."""
+    y = linear(p, x, activation=None, compute_dtype=cd)
+    return y if cd is None else y.astype(cd)
+
+
+def _ffn(p: dict, x: jax.Array, cd=None) -> jax.Array:
     h = _ln(p["ln"], x)
-    h = linear(p["w1"], h, activation=None)
+    h = _lin(p["w1"], h, cd)
     h = h * jax.nn.sigmoid(h)                     # swish
-    return linear(p["w2"], h, activation=None)
+    return _lin(p["w2"], h, cd)
 
 
 def _convmod_init(key, d: int, kernel: int) -> dict:
@@ -83,24 +96,27 @@ def _convmod_init(key, d: int, kernel: int) -> dict:
     }
 
 
-def _convmod(p: dict, x: jax.Array, kernel: int) -> jax.Array:
+def _convmod(p: dict, x: jax.Array, kernel: int, cd=None) -> jax.Array:
     """Conformer conv module. x: [T, B, D]."""
     h = _ln(p["ln"], x)
-    h = linear(p["pw1"], h, activation=None)      # [T, B, 2D]
+    h = _lin(p["pw1"], h, cd)                     # [T, B, 2D]
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)                     # GLU
     # depthwise conv along time: NWC layout [B, T, D]
     hw = jnp.transpose(h, (1, 0, 2))
     D = hw.shape[-1]
+    dw = p["dw"] if cd is None else p["dw"].astype(cd)
     hw = lax.conv_general_dilated(
-        hw, p["dw"], window_strides=(1,), padding="SAME",
+        hw, dw, window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=D,
         preferred_element_type=jnp.float32) + p["dw_b"]
+    if cd is not None:
+        hw = hw.astype(cd)
     h = jnp.transpose(hw, (1, 0, 2))
     h = _ln(p["ln2"], h)
     h = h * jax.nn.sigmoid(h)                     # swish
-    return linear(p["pw2"], h, activation=None)
+    return _lin(p["pw2"], h, cd)
 
 
 def _block_init(key, d: int, heads: int, ff_mult: int, kernel: int) -> dict:
@@ -116,11 +132,14 @@ def _block_init(key, d: int, heads: int, ff_mult: int, kernel: int) -> dict:
 
 
 def _block(p: dict, x: jax.Array, heads: int, kernel: int,
-           mask=None) -> jax.Array:
-    x = x + 0.5 * _ffn(p["ff1"], x)
-    x = x + mhsa_rel(p["mhsa"], _ln(p["mhsa_ln"], x), heads, mask)
-    x = x + _convmod(p["conv"], x, kernel)
-    x = x + 0.5 * _ffn(p["ff2"], x)
+           mask=None, cd=None) -> jax.Array:
+    half = jnp.asarray(0.5, x.dtype)
+    x = x + half * _ffn(p["ff1"], x, cd)
+    a = mhsa_rel(p["mhsa"], _ln(p["mhsa_ln"], x), heads, mask,
+                 compute_dtype=cd)
+    x = x + (a if cd is None else a.astype(cd))
+    x = x + _convmod(p["conv"], x, kernel, cd)
+    x = x + half * _ffn(p["ff2"], x, cd)
     return _ln(p["ln_out"], x)
 
 
@@ -149,19 +168,30 @@ def conformer_init(key: jax.Array, config: Config,
 
 
 def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
-                    **_) -> jax.Array:
-    """x: [B, T, F] -> log-probs [T//4, B, vocab+1]."""
+                    compute_dtype=None, **_) -> jax.Array:
+    """x: [B, T, F] -> log-probs [T//4, B, vocab+1].
+
+    compute_dtype (e.g. jnp.bfloat16): mixed-precision policy — params
+    stay f32, all matmuls/convs take reduced-dtype inputs with f32
+    accumulation, the residual stream is carried at the reduced dtype,
+    LayerNorm statistics + attention softmax + the final log_softmax
+    stay f32. Measured on TPU v5e (conformer_l B=64 T=1200): this is
+    the single largest forward-perf lever (halves every HBM pass).
+    """
     hp = _preset(config)
+    cd = compute_dtype
+    if isinstance(cd, str):
+        cd = None if cd == "float32" else jnp.dtype(cd)
     d, heads, kernel = hp["d_model"], hp["num_heads"], hp["conv_kernel"]
     B, T, F = x.shape
     h = x[:, :, :, None]                           # [B, T, F, 1]
-    h = conv2d(params["sub1"], h, (2, 2))
-    h = conv2d(params["sub2"], h, (2, 2))          # [B, T/4, F/4, d]
+    h = conv2d(params["sub1"], h, (2, 2), compute_dtype=cd)
+    h = conv2d(params["sub2"], h, (2, 2), compute_dtype=cd)  # [B,T/4,F/4,d]
     Bt, Tp, Fp, C = h.shape
     h = h.reshape(B, Tp, Fp * C)
-    h = linear(params["sub_proj"], h, activation=None)
+    h = _lin(params["sub_proj"], h, cd)
     h = jnp.transpose(h, (1, 0, 2))                # [T', B, d]
     for blk in params["blocks"]:
-        h = _block(blk, h, heads, kernel, mask)
-    logits = linear(params["proj"], h, activation=None)
+        h = _block(blk, h, heads, kernel, mask, cd)
+    logits = linear(params["proj"], h, activation=None, compute_dtype=cd)
     return jax.nn.log_softmax(logits, axis=-1)

@@ -54,35 +54,81 @@ def _rel_shift(x: jax.Array) -> jax.Array:
 
 
 def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
-             mask: Optional[jax.Array] = None) -> jax.Array:
-    """x: [T, B, D] -> [T, B, D]. mask: [B, T] True for valid frames."""
+             mask: Optional[jax.Array] = None,
+             compute_dtype=None, impl: str = "auto",
+             lengths: Optional[jax.Array] = None) -> jax.Array:
+    """x: [T, B, D] -> [T, B, D]. mask: [B, T] True for valid frames.
+
+    compute_dtype (e.g. bfloat16) is the mixed-precision policy for the
+    O(T^2) tensors: projections, the score matmuls and the attn@V ride
+    the MXU at the reduced dtype with f32 accumulation; the softmax
+    itself stays f32 (max-subtraction + normalization in f32); the big
+    [B, H, T, ~2T] position tensor is shifted at the reduced dtype so
+    its pad/reshape passes move half the HBM bytes.
+
+    impl: "xla" | "pallas" | "auto". The pallas path is the fused
+    flash-style kernel (ops/pallas/flash_mhsa.py): the whole score tile
+    lives in VMEM so NO O(T^2) tensor touches HBM — measured ~7 ms ->
+    sub-ms per conformer_l block on TPU v5e. "auto" takes it on TPU
+    when compute_dtype is bf16 (the kernel computes at bf16, so auto
+    never silently drops an f32 model's precision), the shape is
+    eligible, and masking is either absent or expressible as prefix
+    `lengths` [B] (the kernel's mask form; an arbitrary boolean mask
+    falls back to XLA).
+    """
     T, B, D = x.shape
     dh = D // num_heads
+    cd = compute_dtype
+    c = (lambda a: a.astype(cd)) if cd is not None else (lambda a: a)
+
+    use_pallas = False
+    if impl in ("auto", "pallas"):
+        from gasr_tpu.ops.pallas.flash_mhsa import flash_eligible
+        ok = flash_eligible(T, dh) and mask is None
+        if impl == "pallas":
+            use_pallas = ok
+        else:
+            use_pallas = (ok and cd == jnp.bfloat16
+                          and jax.default_backend() == "tpu")
 
     def proj(w, inp):
-        return jnp.einsum("tbd,de->tbe", inp, w,
+        return jnp.einsum("tbd,de->tbe", c(inp), c(w),
                           preferred_element_type=jnp.float32)
 
-    q = proj(params["wq"], x).reshape(T, B, num_heads, dh)
-    k = proj(params["wk"], x).reshape(T, B, num_heads, dh)
-    v = proj(params["wv"], x).reshape(T, B, num_heads, dh)
+    q = c(proj(params["wq"], x)).reshape(T, B, num_heads, dh)
+    k = c(proj(params["wk"], x)).reshape(T, B, num_heads, dh)
+    v = c(proj(params["wv"], x)).reshape(T, B, num_heads, dh)
 
     r = _sinusoid_pos(T, D) @ params["wr"]               # [2T-1, D]
-    r = r.reshape(2 * T - 1, num_heads, dh)
+    r = c(r).reshape(2 * T - 1, num_heads, dh)
+
+    if use_pallas:
+        from gasr_tpu.ops.pallas.flash_mhsa import flash_mhsa_rel
+        interp = jax.default_backend() != "tpu"
+        lens = (jnp.full((B,), T, jnp.int32) if lengths is None
+                else lengths.astype(jnp.int32))
+        tb = lambda a: jnp.transpose(a, (1, 2, 0, 3))    # -> [B, H, T, dh]
+        out = flash_mhsa_rel(tb(q), tb(k), tb(v),
+                             jnp.transpose(r, (1, 0, 2)),
+                             params["u"], params["v"], lens,
+                             out_f32=cd is None, interpret=interp)
+        out = c(jnp.transpose(out, (2, 0, 1, 3))).reshape(T, B, D)
+        return jnp.einsum("tbd,de->tbe", out, c(params["wo"]),
+                          preferred_element_type=jnp.float32)
 
     # content and position terms (Transformer-XL eq. with biases u, v)
-    ac = jnp.einsum("tbhd,sbhd->bhts", q + params["u"][None, None], k,
+    ac = jnp.einsum("tbhd,sbhd->bhts", q + c(params["u"])[None, None], k,
                     preferred_element_type=jnp.float32)
-    bd = jnp.einsum("tbhd,lhd->bhtl", q + params["v"][None, None], r,
+    bd = jnp.einsum("tbhd,lhd->bhtl", q + c(params["v"])[None, None], r,
                     preferred_element_type=jnp.float32)
-    bd = _rel_shift(bd)                                  # [B, H, T, T]
+    bd = _rel_shift(c(bd))                               # [B, H, T, T]
 
-    scores = (ac + bd) / math.sqrt(dh)
+    scores = (ac + bd.astype(jnp.float32)) / math.sqrt(dh)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :], scores, -1e30)
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = c(jax.nn.softmax(scores, axis=-1))
     out = jnp.einsum("bhts,sbhd->tbhd", attn, v,
                      preferred_element_type=jnp.float32)
-    out = out.reshape(T, B, D)
-    return jnp.einsum("tbd,de->tbe", out, params["wo"],
+    out = c(out).reshape(T, B, D)
+    return jnp.einsum("tbd,de->tbe", out, c(params["wo"]),
                       preferred_element_type=jnp.float32)

@@ -29,11 +29,23 @@ def conv2d_init(key: jax.Array, in_ch: int, out_ch: int,
 
 
 def conv2d(params: dict, x: jax.Array, stride: Tuple[int, int],
-           padding="SAME") -> jax.Array:
-    """x: [B, H(time), W(freq), C] NHWC -> clipped-ReLU conv output."""
+           padding="SAME", compute_dtype=None) -> jax.Array:
+    """x: [B, H(time), W(freq), C] NHWC -> clipped-ReLU conv output.
+
+    compute_dtype (e.g. bfloat16): conv inputs run at the reduced dtype
+    (MXU-native), accumulation stays f32, and the clipped-ReLU output is
+    emitted at the reduced dtype so downstream HBM traffic halves.
+    """
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = lax.conv_general_dilated(
-        x, params["w"], window_strides=stride, padding=padding,
+        x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     y = y + params["b"]
-    return jnp.clip(y, 0.0, 20.0)
+    y = jnp.clip(y, 0.0, 20.0)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y

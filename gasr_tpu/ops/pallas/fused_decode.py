@@ -929,14 +929,20 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
             jax.ShapeDtypeStruct((NF, Bp, S), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((NF, block_b, S), jnp.int32)],
-        # grid temporaries scale ~linearly with the batch tile; the
-        # default 16 MB scoped limit fits block_b=24 (the r2 sweep's
-        # OOM at 32 was the LIMIT, not physical VMEM — v5e carries
-        # 128 MB), so scale the allowance with the tile
+        # grid temporaries scale ~linearly with the batch tile AND with
+        # the vocab tiling (VPX=256 doubles every per-row chunk array);
+        # the default 16 MB scoped limit fits block_b=24 at VPX=128
+        # (the r2 sweep's OOM at 32 was the LIMIT, not physical VMEM —
+        # v5e carries 128 MB), so scale the allowance with the
+        # effective tile block_b * VPX/VP (advisor r3: keying on
+        # block_b alone left the V>128 path ~9 MB, below the 16 MB it
+        # previously compiled under)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(100 * 2**20,
-                                     (16 * 2**20) * block_b // 24
-                                     + 4 * 2**20))),
+                                     max(16 * 2**20,
+                                         (16 * 2**20)
+                                         * (block_b * VPX // VP)
+                                         // 24 + 4 * 2**20)))),
         interpret=interpret,
     )(*operands)
     if t_pad:
@@ -1325,10 +1331,16 @@ def _tp_scan_kernel(lohi_ref, f_loc_ref, f_full_ref, init_ref,
     if sel_mode == "flag":
         # a local tie-overflow on ANY shard means the union may be
         # missing true winners — OR every shard's row flag into the
-        # output so the caller's exact re-run triggers
-        fr = jnp.zeros((lane.shape[0], 1), jnp.int32)
+        # output so the caller's exact re-run triggers. The flag lives
+        # in lane 0's sign bit; extract it with a masked lane reduce
+        # (a [:, 0:1] lane slice is sub-128 along the lane dim and does
+        # not lower on hardware — probed Mosaic constraint, CLAUDE.md)
+        fr = jnp.zeros(lane.shape, jnp.int32)
+        lane0 = lane == 0
         for j in range(n):
-            fr = fr | ((recv_buf[par, NF, j][:, 0:1] >> 31) & 1)
+            row = recv_buf[par, NF, j]
+            fr = fr | jnp.where(lane0, (row >> 31) & 1, 0)
+        fr = jnp.max(fr, axis=1, keepdims=True)
         ys_g = ys_g | (fr << 31)
     ys_ref[0] = ys_g
     fin_ref[...] = st[...]

@@ -376,9 +376,12 @@ def ctc_beam_search_tp(
         for V > 256.
       - "xla": the XLA matched-merge shard step (general fallback).
       - "auto": degenerate n == 1 meshes dispatch to the single-chip
-        decoder; n > 1 takes "fused" on TPU when eligible, else
-        "fused_frame", else "xla". CPU tests opt in explicitly
-        (interpret mode).
+        decoder; n > 1 on TPU takes "fused_frame" when eligible (the
+        hardware-conservative choice: the whole-scan RDMA exchange has
+        only ever run under the interpret simulator / a mesh-of-1 where
+        the exchange is statically elided — opt into "fused" explicitly
+        on validated multi-chip hardware), else "xla". CPU tests opt in
+        explicitly (interpret mode).
     """
     T, B, V = log_probs.shape
     W = beam_width
@@ -401,9 +404,15 @@ def ctc_beam_search_tp(
         return ctc_beam_search(log_probs, beam_width=W, blank_id=blank_id,
                                max_len=L, algorithm="prefix")
     on_tpu = jax.default_backend() == "tpu"
-    if tp_impl == "auto" and on_tpu and scan_ok:
-        tp_impl = "fused"
-    elif tp_impl == "auto" and on_tpu and frame_ok:
+    if tp_impl == "auto" and on_tpu and frame_ok:
+        # n > 1 on hardware: prefer the per-frame kernel. The whole-scan
+        # RDMA kernel ("fused") ties single-chip at mesh-of-1 and is
+        # bit-exact on the interpret-simulated ICI, but its cross-chip
+        # exchange (Mosaic lowering of the dynamic-index scratch stores
+        # + remote-DMA ordering on real ICI) has never compiled on a
+        # real multi-chip slice — and a failed TPU compile wedges the
+        # remote backend ~5-15 min (CLAUDE.md). Callers on validated
+        # hardware opt in with tp_impl="fused" explicitly.
         tp_impl = "fused_frame"
 
     init = _init_beam(B, W, log_domain=True)

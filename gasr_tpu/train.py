@@ -50,7 +50,10 @@ def make_train_step(config: Config,
 
     def forward(params, inputs):
         kw = {}
-        if compute_dtype is not None and config.model == "deepspeech":
+        if compute_dtype is not None:
+            # every model family accepts the kwarg (deepspeech + conformer
+            # honor it; bilstm/ds2 swallow it via **_ — their recurrent
+            # cores are f32-bound by the scan carry either way)
             kw["compute_dtype"] = compute_dtype
         return model_apply(config, params, inputs, **kw)
 
