@@ -480,10 +480,19 @@ def _traceback(packed_ys, final_lengths, L,
         # and the output is -1-padded back to L — at the flagship bench
         # shape (T=200, max_len=256) that cuts the persistent VMEM
         # token blocks and the per-frame select passes by ~22%.
-        # Streaming passes a traced t_offset, so no static bound exists.
+        #
+        # Streaming (traced t_offset): the walk runs CHUNK-RELATIVE.
+        # Only the chunk's <= Tc emissions matter and the walk uses
+        # `pos` purely through (emit = pos-1, pos -= append), so
+        # feeding per-row lengths = Tc yields the same emissions at
+        # relative slots rel = abs - (len_final - Tc) in [0, Tc) —
+        # a STATIC L_eff = Tc kernel (r3 paid full-L select passes
+        # per chunk: 1.56x batch; VERDICT r4 item #3). The absolute
+        # overlay below is a shifted gather on the [B, W, L] buffers.
         from gasr_tpu.ops.pallas.fused_decode import (traceback_pallas,
                                                       traceback_vmem_blk)
-        L_eff = min(L, t_offset + Tc) if isinstance(t_offset, int) else L
+        streaming_rel = not isinstance(t_offset, int)
+        L_eff = Tc if streaming_rel else min(L, t_offset + Tc)
         if traceback_vmem_blk(L_eff) < 8:
             # max_len too large for the kernel's scoped-VMEM budget:
             # the XLA scan walk below handles any L (round-1 bench
@@ -491,6 +500,24 @@ def _traceback(packed_ys, final_lengths, L,
             impl = "scan"
     if impl == "pallas":
         interpret = jax.default_backend() != "tpu"
+        if streaming_rel:
+            assert base_tokens is not None
+            k_tok, k_rel, start_parent = traceback_pallas(
+                packed_ys, jnp.full_like(final_lengths, Tc), Tc,
+                interpret=interpret)
+            off = (final_lengths - Tc)[:, :, None]       # [B, W, 1]
+            idxL = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            rel = idxL - off
+            relc = jnp.clip(rel, 0, Tc - 1)
+            g_tok = jnp.take_along_axis(k_tok[:, :, :Tc], relc, axis=2)
+            g_t = jnp.take_along_axis(k_rel[:, :, :Tc], relc, axis=2)
+            sp3 = start_parent[:, :, None]
+            base = jnp.take_along_axis(base_tokens, sp3, axis=1)
+            base_t = jnp.take_along_axis(base_timesteps, sp3, axis=1)
+            valid = (rel >= 0) & (rel < Tc) & (g_tok >= 0)
+            tokens = jnp.where(valid, g_tok, base)
+            tsteps = jnp.where(valid, g_t + t_offset, base_t)
+            return tokens, tsteps, start_parent
         k_tok, k_t, start_parent = traceback_pallas(
             packed_ys, final_lengths, L_eff, interpret=interpret)
         if L_eff < L:

@@ -84,7 +84,7 @@ def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
     use_pallas = False
     if impl in ("auto", "pallas"):
         from gasr_tpu.ops.pallas.flash_mhsa import flash_eligible
-        ok = flash_eligible(T, dh) and mask is None
+        ok = flash_eligible(T, dh, D) and mask is None
         if impl == "pallas":
             use_pallas = ok
         else:
@@ -99,22 +99,21 @@ def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
     k = c(proj(params["wk"], x)).reshape(T, B, num_heads, dh)
     v = c(proj(params["wv"], x)).reshape(T, B, num_heads, dh)
 
-    r = _sinusoid_pos(T, D) @ params["wr"]               # [2T-1, D]
-    r = c(r).reshape(2 * T - 1, num_heads, dh)
-
     if use_pallas:
         from gasr_tpu.ops.pallas.flash_mhsa import flash_mhsa_rel
         interp = jax.default_backend() != "tpu"
         lens = (jnp.full((B,), T, jnp.int32) if lengths is None
                 else lengths.astype(jnp.int32))
         tb = lambda a: jnp.transpose(a, (1, 2, 0, 3))    # -> [B, H, T, dh]
-        out = flash_mhsa_rel(tb(q), tb(k), tb(v),
-                             jnp.transpose(r, (1, 0, 2)),
+        out = flash_mhsa_rel(tb(q), tb(k), tb(v), params["wr"],
                              params["u"], params["v"], lens,
                              out_f32=cd is None, interpret=interp)
         out = c(jnp.transpose(out, (2, 0, 1, 3))).reshape(T, B, D)
         return jnp.einsum("tbd,de->tbe", out, c(params["wo"]),
                           preferred_element_type=jnp.float32)
+
+    r = _sinusoid_pos(T, D) @ params["wr"]               # [2T-1, D]
+    r = c(r).reshape(2 * T - 1, num_heads, dh)
 
     # content and position terms (Transformer-XL eq. with biases u, v)
     ac = jnp.einsum("tbhd,sbhd->bhts", q + c(params["u"])[None, None], k,

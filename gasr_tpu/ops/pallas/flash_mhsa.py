@@ -9,17 +9,30 @@ ac +1.4, bd+shift +3.2, softmax +1.9, attn@V +0.6 ms over the
 dispatch floor), 17x per model = the bulk of the 172 ms bf16 forward.
 
 Here every (batch, head) computes its full [T_pad, T_pad] score tile
-in VMEM: content scores (q+u)@k^T and position scores (q+v)@r^T ride
-the MXU at bf16 with f32 accumulation, the Transformer-XL rel-shift
-becomes a same-shape axis-1 dynamic_gather (tpu.dynamic_gather IS
-Mosaic-lowerable — CLAUDE.md op-support notes; the pad+reshape trick
-XLA uses is unnecessary in VMEM), softmax runs in f32 on the VPU, and
-only the [T, dh] per-head output is written back. T' = ceil(T/4) after
-conformer subsampling, so a whole utterance's tile fits VMEM for
-T' <= ~1024 (the dispatcher's eligibility bound; longer sequences fall
-back to the XLA path).
+in VMEM and only the [T, dh] per-head outputs ever touch HBM.
 
-Grid: (B,) — one program per batch row, static 8-way head loop inside
+The Transformer-XL rel-shift is GONE, not gathered: Mosaic's
+dynamic_gather cannot cross 128-lane vreg boundaries along the gather
+dimension (probed on hardware: lane-dim gather raises "Multiple source
+vregs along gather dimension"; sublane-dim gather crashes the compile
+helper), so instead the sinusoidal position bias is FACTORIZED by the
+angle-addition identities:
+
+    bd[s, t] = sum_i  u_i(t) sin(w_i (t-s)) + u'_i(t) cos(w_i (t-s))
+             = cos(w s) . A(t) + sin(w s) . B(t)
+      A(t) = u(t) sin(w t) + u'(t) cos(w t)
+      B(t) = u'(t) sin(w t) - u(t) cos(w t)
+
+with u(t) = wr_h^T (q_t + v) the per-head projection of the query onto
+the sinusoid basis. Every term is an elementwise multiply or a plain
+MXU matmul against precomputed per-position sin/cos tables — exactly
+the kind of op Mosaic lowers well — and the math is EXACT (the same
+sum XLA's gather computes, reassociated; differences are f32 rounding).
+
+Scores live transposed as [key, query] so softmax is a sublane
+reduction and attn @ V contracts sublanes — no transpose op anywhere.
+
+Grid: (B,) — one program per batch row, static head loop inside
 (a (B*H, qtile) grid would pay ~1.5 us/program x 1536 programs of
 fixed cost for no VMEM benefit at these shapes).
 
@@ -46,70 +59,81 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, r_ref, u_ref, vb_ref, o_ref,
-            *, H: int, T: int, Tp: int, Lp: int, dh: int, out_f32: bool):
+def _kernel(len_ref, q_ref, k_ref, v_ref, ws_ref, wc_ref, cs_ref, sn_ref,
+            u_ref, vb_ref, o_ref,
+            *, H: int, T: int, Tp: int, dh: int):
     """One batch row: loop heads, full-tile attention in VMEM.
 
-    q/k/v/o: [1, H, Tp, dh] (bf16 in, out_f32 selects o dtype)
-    r: [H, Lp, dh] rel-pos projections (row l = offset (T-1-l))
+    q/k/v/o: [1, H, Tp, dh] bf16 (o dtype = out_shape dtype)
+    ws/wc: [H, dh, Dp2] — wr rows for the sin / cos halves of the
+        sinusoid basis, per head (u(t) = qv @ ws, u'(t) = qv @ wc)
+    cs/sn: [Tp, Dp2] — cos(w_i t), sin(w_i t) position tables
+        (zero-padded past D/2 columns so padding contributes nothing)
     u/vb: [H, 1, dh] content/position biases
     len: [B] SMEM (full array; rank-1 blocks must cover the array) —
     valid key length per row (<= T), indexed by program id
     """
     len_b = len_ref[pl.program_id(0)]
     scale = np.float32(1.0 / math.sqrt(dh))
-    # lane iota over key positions, sublane iota over query positions
-    j_lane = lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
-    valid = j_lane < len_b
-    # rel-shift gather index: col c of the position row holds offset
-    # (T-1-c), and score (i, j) needs offset (i-j) -> c = T-1-i+j
-    # (built from two full-shape iotas — no lane slicing, which does
-    # not lower)
-    gidx = jnp.clip(
-        np.int32(T - 1)
-        - lax.broadcasted_iota(jnp.int32, (Tp, Lp), 0)
-        + lax.broadcasted_iota(jnp.int32, (Tp, Lp), 1),
-        0, np.int32(Lp - 1))
+    # sublane iota over KEY positions, lane iota over QUERY positions
+    s_sub = lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+    valid = s_sub < len_b
+    cs = cs_ref[...]
+    sn = sn_ref[...]
 
     for h in range(H):
         qh = q_ref[0, h]                       # [Tp, dh] bf16
         kh = k_ref[0, h]
         vh = v_ref[0, h]
-        rh = r_ref[h]                          # [Lp, dh]
         qu = qh + u_ref[h]                     # broadcast [1, dh]
         qv = qh + vb_ref[h]
-        ac = lax.dot_general(qu, kh, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        bdf = lax.dot_general(qv, rh, (((1,), (1,)), ((), ())),
+        # [key, query] content scores: k @ (q+u)^T
+        acT = lax.dot_general(kh, qu, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-        bd = jnp.take_along_axis(bdf, gidx, axis=1)[:, :Tp]
-        scores = (ac + bd) * scale
+        # factorized position scores (see module docstring)
+        us = lax.dot_general(qv, ws_ref[h], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16)
+        uc = lax.dot_general(qv, wc_ref[h], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16)
+        A = us * sn + uc * cs                  # [Tp, Dp2] bf16
+        Bm = uc * sn - us * cs
+        bdT = (lax.dot_general(cs, A, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+               + lax.dot_general(sn, Bm, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+        scores = (acT + bdT) * scale           # [key, query]
         scores = jnp.where(valid, scores, NEG)
-        m = jnp.max(scores, axis=1, keepdims=True)
+        m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)
-        s = jnp.sum(e, axis=1, keepdims=True)
-        attn = (e / s).astype(jnp.bfloat16)
-        out = lax.dot_general(attn, vh, (((1,), (0,)), ((), ())),
+        s = jnp.sum(e, axis=0, keepdims=True)
+        attn = (e / s).astype(jnp.bfloat16)    # [key, query]
+        # out[t, d] = sum_s attn[s, t] * v[s, d]
+        out = lax.dot_general(attn, vh, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_f32", "interpret"))
 def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
-                   r: jax.Array, u: jax.Array, vb: jax.Array,
+                   wr: jax.Array, u: jax.Array, vb: jax.Array,
                    lengths: jax.Array,
                    out_f32: bool = False,
                    interpret: bool = False) -> jax.Array:
     """q/k/v: [B, H, T, dh] (any float dtype; cast to bf16 inside),
-    r: [H, 2T-1, dh], u/vb: [H, dh], lengths: [B] int32 valid key
-    counts (pass jnp.full((B,), T) for unmasked). Returns [B, H, T, dh]
-    (f32 when out_f32 else bf16).
+    wr: [D, D] rel-pos projection (D = H*dh; applied to the sinusoid
+    basis INSIDE the kernel via the factorized identity), u/vb: [H, dh]
+    content/position biases, lengths: [B] int32 valid key counts (pass
+    jnp.full((B,), T) for unmasked). Returns [B, H, T, dh] (f32 when
+    out_f32 else bf16).
     """
     B, H, T, dh = q.shape
-    L = r.shape[1]
-    assert L == 2 * T - 1 and u.shape == (H, dh) and vb.shape == (H, dh)
+    D = H * dh
+    assert wr.shape == (D, D) and u.shape == (H, dh) and vb.shape == (H, dh)
+    half = D // 2
     Tp = _round_up(T, 128)
-    Lp = _round_up(L, 128)
+    Dp2 = _round_up(half, 128)
     bf = jnp.bfloat16
 
     def padt(x, n):
@@ -117,13 +141,27 @@ def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
                        + ((0, n - x.shape[-2]), (0, 0)))
 
     qp, kp, vp = padt(q, Tp), padt(k, Tp), padt(v, Tp)
-    rp = padt(r, Lp)
     u3 = u.astype(bf)[:, None, :]
     vb3 = vb.astype(bf)[:, None, :]
 
+    # wr rows 0..half-1 weight the sin block of the sinusoid basis,
+    # rows half.. the cos block (ops/attention._sinusoid_pos layout);
+    # reorganize to per-head [dh, half] operands, lane-padded to Dp2
+    wrh = wr.astype(bf).reshape(D, H, dh)
+    lanepad = ((0, 0), (0, 0), (0, Dp2 - half))
+    ws = jnp.pad(jnp.transpose(wrh[:half], (1, 2, 0)), lanepad)
+    wc = jnp.pad(jnp.transpose(wrh[half:2 * half], (1, 2, 0)), lanepad)
+
+    # per-position tables cos(w_i t), sin(w_i t) for t in [0, Tp)
+    inv = jnp.exp(-jnp.arange(0, D, 2, dtype=jnp.float32)
+                  * (math.log(10000.0) / D))            # [half]
+    ang = jnp.arange(Tp, dtype=jnp.float32)[:, None] * inv[None, :]
+    zpad = ((0, 0), (0, Dp2 - half))
+    cs = jnp.pad(jnp.cos(ang).astype(bf), zpad)
+    sn = jnp.pad(jnp.sin(ang).astype(bf), zpad)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, H=H, T=T, Tp=Tp, Lp=Lp, dh=dh,
-                          out_f32=out_f32),
+        functools.partial(_kernel, H=H, T=T, Tp=Tp, dh=dh),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((B,), lambda b: (0,),
@@ -134,7 +172,13 @@ def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, Tp, dh), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, Lp, dh), lambda b: (0, 0, 0),
+            pl.BlockSpec((H, dh, Dp2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, dh, Dp2), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Dp2), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Dp2), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 1, dh), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -148,12 +192,13 @@ def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qp, kp, vp, rp, u3, vb3)
+    )(lengths.astype(jnp.int32), qp, kp, vp, ws, wc, cs, sn, u3, vb3)
     return out[:, :, :T]
 
 
-def flash_eligible(T: int, dh: int) -> bool:
-    """VMEM budget: per-head tiles [Tp, Tp] f32 + [Tp, Lp] f32 x ~3
-    must fit alongside the [1, H, Tp, dh] blocks; T <= 1024 keeps the
-    transient set under ~30 MB."""
-    return T <= 1024 and dh <= 128 and T >= 2
+def flash_eligible(T: int, dh: int, D: int) -> bool:
+    """VMEM budget: the per-head [Tp, Tp] f32 score tile plus the
+    [Tp, Dp2] factorization temporaries must fit alongside the
+    [1, H, Tp, dh] blocks; T <= 1024 keeps the transient set well
+    under the 64 MB allowance. D must split into sin/cos halves."""
+    return 2 <= T <= 1024 and dh <= 128 and D % 2 == 0

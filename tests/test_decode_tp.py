@@ -196,3 +196,42 @@ def test_conformer_l_sharded_forward_plus_tp_decode():
         n = int(want.lengths[b, 0])
         assert (np.asarray(got.tokens)[b, 0, :n].tolist()
                 == np.asarray(want.tokens)[b, 0, :n].tolist())
+
+
+@pytest.mark.parametrize("tp_impl,n_tp,chunks", [
+    ("xla", 4, (5, 1, 6)),
+    ("fused_frame", 4, (5, 1, 6)),
+    ("fused_frame", 3, (4, 4)),
+    pytest.param("fused", 2, (4, 5), marks=pytest.mark.slow),
+])
+def test_tp_streaming_equals_tp_batch(tp_impl, n_tp, chunks):
+    """TP x streaming (r4): chunked TP decode with carried beam +
+    prefix state must be array-equal to whole-utterance TP decode AND
+    to single-chip decode — tokens, timesteps, lengths, scores."""
+    from gasr_tpu.decoder.beam_search import streaming_init
+    from gasr_tpu.parallel.decode_tp import streaming_step_tp
+
+    rng = np.random.default_rng(sum(chunks) * 17 + n_tp)
+    T, B, V, W = sum(chunks), 2, 10, 6
+    lp = jnp.asarray(rand_logprobs(rng, T, B, V))
+    mesh = make_mesh({"model": n_tp})
+
+    full = ctc_beam_search_tp(lp, beam_width=W, mesh=mesh, max_len=32,
+                              tp_impl=tp_impl)
+    single = ctc_beam_search(lp, beam_width=W, max_len=32,
+                             algorithm="prefix", merge_impl="matched")
+    st = streaming_init(B, W, max_len=32)
+    t = 0
+    for c in chunks:
+        st, snap = streaming_step_tp(st, lp[t:t + c], mesh=mesh,
+                                     tp_impl=tp_impl)
+        t += c
+    for name in ("tokens", "timesteps", "lengths"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(snap, name)),
+            np.asarray(getattr(full, name)), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(snap, name)),
+            np.asarray(getattr(single, name)), err_msg=name)
+    np.testing.assert_allclose(np.asarray(snap.scores),
+                               np.asarray(full.scores), rtol=1e-5)

@@ -43,6 +43,60 @@ def test_streaming_equals_batch(algorithm, chunks):
                     == np.asarray(full.tokens)[b, w, :n].tolist())
 
 
+@pytest.mark.parametrize("chunks", [[5, 1, 7, 2], [8, 8], [1] * 9])
+def test_streaming_pallas_relative_traceback_equals_batch(chunks):
+    """The fused-kernel streaming path (chunk-relative traceback at
+    static L_eff = Tc + shifted-gather overlay, r4) must stay
+    array-equal to the batch pallas decode — tokens, timesteps,
+    lengths, scores."""
+    rng = np.random.default_rng(sum(chunks) * 13 + len(chunks))
+    T, B, V, W = sum(chunks), 3, 29, 32
+    lp = rand_logprobs(rng, T, B, V)
+    full = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=32,
+                           merge_impl="pallas")
+    state = streaming_init(B, W, max_len=32)
+    t = 0
+    for c in chunks:
+        state, snap = streaming_step(state, jnp.asarray(lp[t:t + c]),
+                                     merge_impl="pallas")
+        t += c
+    np.testing.assert_array_equal(np.asarray(snap.lengths),
+                                  np.asarray(full.lengths))
+    np.testing.assert_allclose(np.asarray(snap.scores),
+                               np.asarray(full.scores), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(snap.tokens),
+                                  np.asarray(full.tokens))
+    np.testing.assert_array_equal(np.asarray(snap.timesteps),
+                                  np.asarray(full.timesteps))
+
+
+def test_streaming_pallas_relative_overflow_clamp():
+    """Chunk emissions whose absolute position lands >= max_len must be
+    dropped (head-keeping), exactly like the batch path's overflow
+    clamp — exercises the rel-window overlay when final lengths exceed
+    L."""
+    rng = np.random.default_rng(99)
+    T, B, V, W = 24, 2, 29, 16
+    # low blank mass -> long outputs that overflow a tiny max_len
+    x = rng.standard_normal((T, B, V)).astype(np.float32)
+    x[:, :, 0] -= 4.0
+    lp = jnp.asarray(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+    L = 8
+    full = ctc_beam_search(lp, beam_width=W, max_len=L,
+                           merge_impl="pallas")
+    assert bool(np.asarray(full.overflow).any()), "test needs overflow"
+    state = streaming_init(B, W, max_len=L)
+    for t0, t1 in ((0, 9), (9, 10), (10, 24)):
+        state, snap = streaming_step(state, lp[t0:t1],
+                                     merge_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(snap.tokens),
+                                  np.asarray(full.tokens))
+    np.testing.assert_array_equal(np.asarray(snap.lengths),
+                                  np.asarray(full.lengths))
+    np.testing.assert_array_equal(np.asarray(snap.overflow),
+                                  np.asarray(full.overflow))
+
+
 def test_streaming_lm_bias_equals_batch():
     """LM shallow fusion carries across chunk boundaries identically."""
     rng = np.random.default_rng(11)
