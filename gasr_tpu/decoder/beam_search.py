@@ -491,8 +491,14 @@ def _traceback(packed_ys, final_lengths, L,
         # overlay below is a shifted gather on the [B, W, L] buffers.
         from gasr_tpu.ops.pallas.fused_decode import (traceback_pallas,
                                                       traceback_vmem_blk)
-        streaming_rel = not isinstance(t_offset, int)
-        L_eff = Tc if streaming_rel else min(L, t_offset + Tc)
+        traced_off = not isinstance(t_offset, int)
+        # the relative path unrolls Tc overlay selects — cap it at
+        # streaming-sized chunks; a huge "chunk" takes the absolute
+        # walk at full L instead
+        streaming_rel = traced_off and Tc <= 128
+        L_eff = (Tc if streaming_rel
+                 else L if traced_off
+                 else min(L, t_offset + Tc))
         if traceback_vmem_blk(L_eff) < 8:
             # max_len too large for the kernel's scoped-VMEM budget:
             # the XLA scan walk below handles any L (round-1 bench
@@ -507,16 +513,22 @@ def _traceback(packed_ys, final_lengths, L,
                 interpret=interpret)
             off = (final_lengths - Tc)[:, :, None]       # [B, W, 1]
             idxL = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-            rel = idxL - off
-            relc = jnp.clip(rel, 0, Tc - 1)
-            g_tok = jnp.take_along_axis(k_tok[:, :, :Tc], relc, axis=2)
-            g_t = jnp.take_along_axis(k_rel[:, :, :Tc], relc, axis=2)
             sp3 = start_parent[:, :, None]
-            base = jnp.take_along_axis(base_tokens, sp3, axis=1)
-            base_t = jnp.take_along_axis(base_timesteps, sp3, axis=1)
-            valid = (rel >= 0) & (rel < Tc) & (g_tok >= 0)
-            tokens = jnp.where(valid, g_tok, base)
-            tsteps = jnp.where(valid, g_t + t_offset, base_t)
+            tokens = jnp.take_along_axis(base_tokens, sp3, axis=1)
+            tsteps = jnp.take_along_axis(base_timesteps, sp3, axis=1)
+            # commit the <= Tc chunk emissions with one iota-compare
+            # select per relative slot. NOT a [B, W, L] take_along_axis:
+            # a dynamically-indexed gather of B*W*L elements measured
+            # ~135 ms/chunk on TPU (the r4 first cut: streaming 99.7
+            # -> 1418 ms); these Tc selects are elementwise, so XLA
+            # fuses them into ONE pass over the token buffers.
+            for j in range(Tc):
+                pos_j = off + j                          # [B, W, 1]
+                tok_j = k_tok[:, :, j:j + 1]
+                t_j = k_rel[:, :, j:j + 1]
+                hit = (idxL == pos_j) & (tok_j >= 0)
+                tokens = jnp.where(hit, tok_j, tokens)
+                tsteps = jnp.where(hit, t_j + t_offset, tsteps)
             return tokens, tsteps, start_parent
         k_tok, k_t, start_parent = traceback_pallas(
             packed_ys, final_lengths, L_eff, interpret=interpret)
@@ -696,10 +708,11 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
     "auto" picks it on TPU for large candidate grids, where it beats
     the XLA matched-merge scan (measured 1.9x at W=100, V=47)."""
     shape_ok = (W <= 128 and V <= 128) or (W <= 64 and V <= 256)
-    # LM shallow fusion rides the kernel when the [V+1, V] table fits
-    # the 128-row one-hot contraction (V <= 127); the V > 128
-    # vocab-tiling case stays on the XLA matched path.
-    lm_ok = lm_bias is None or V <= 127
+    # LM shallow fusion rides the kernel for V <= 255: V <= 127 via
+    # the pack-half tables, larger vocabularies via row-half tables
+    # (r4 — conformer_s V=129 + LM previously fell back to the ~2x
+    # slower XLA matched path); V = 256 exactly needs 257 rows > 2*VP.
+    lm_ok = lm_bias is None or V <= 255
     eligible = (algorithm == "prefix" and log_domain
                 and topk_impl == "exact" and lm_ok
                 and shape_ok)
@@ -718,7 +731,7 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
         raise ValueError("merge_impl='pallas' is exact-top-k only")
     if not lm_ok:
         raise ValueError("merge_impl='pallas' supports lm_bias only "
-                         "for V <= 127; use merge_impl='matched'")
+                         "for V <= 255; use merge_impl='matched'")
     if not shape_ok:
         raise ValueError("merge_impl='pallas' requires W <= 128 and "
                          "V <= 128, or W <= 64 and V <= 256")

@@ -112,6 +112,12 @@ def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
         return jnp.einsum("tbd,de->tbe", out, c(params["wo"]),
                           preferred_element_type=jnp.float32)
 
+    if lengths is not None and mask is None:
+        # prefix lengths are the kernel's mask form; when the XLA path
+        # runs instead (ineligible shape / f32 / CPU), honor them as a
+        # boolean mask rather than silently decoding unmasked
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+
     r = _sinusoid_pos(T, D) @ params["wr"]               # [2T-1, D]
     r = c(r).reshape(2 * T - 1, num_heads, dh)
 

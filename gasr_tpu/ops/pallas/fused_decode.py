@@ -405,12 +405,27 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
         # two paths stay bit-equal (see beam_search.ctc_beam_search).
         lmi = last + 1                                  # [Bt, S] in [0, V]
         contrib = None
-        for h in range(P):
-            a_h = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, VP), 2) ==
-                   rows_h(lmi, h)).astype(jnp.float32)
-            c_h = lax.dot_general(a_h, lm[h], (((2,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-            contrib = c_h if contrib is None else contrib + c_h
+        if P > 1:
+            # pack halves: table h carries half-h's lane shift
+            for h in range(P):
+                a_h = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, VP), 2)
+                       == rows_h(lmi, h)).astype(jnp.float32)
+                c_h = lax.dot_general(a_h, lm[h], (((2,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+                contrib = c_h if contrib is None else contrib + c_h
+        else:
+            # row halves (vocab-tiled V + 1 > VP): table r holds rows
+            # [r*VP, (r+1)*VP); a row index outside its half one-hots
+            # to all-zero, so summing halves is exact (r4: previously
+            # V >= 128 + LM silently fell back to the 2x-slower XLA
+            # matched path)
+            for r in range(len(lm)):
+                a_r = (lax.broadcasted_iota(jnp.int32, (Bt, Rg, VP), 2)
+                       == (rows_h(lmi, 0) - np.int32(r * VP))
+                       ).astype(jnp.float32)
+                c_r = lax.dot_general(a_r, lm[r], (((2,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+                contrib = c_r if contrib is None else contrib + c_r
         ext_pnb3 = ext_pnb3 + contrib
 
     # absorbed-extend exclusion: excl[b,w,v] = exists k with match_k == w,
@@ -680,13 +695,19 @@ def _frame_math(f, fields, *, W: int, V: int, blank_id: int, Wg: int,
     if lm is not None:
         # same bias value for the selected cells: row lookup via
         # one-hot matmul on table 0 (unshifted: lane == v, and
-        # v_sel0 < Vpk == table-0's value lanes), lane pick via
-        # one-hot multiply+sum (batched dot_general with 2D lhs trips
-        # an MLIR bug — CLAUDE.md).
-        b1 = (lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2) ==
-              jnp.expand_dims(last_s + 1, 2)).astype(jnp.float32)
-        rows_v = lax.dot_general(b1, lm[0], (((2,), (0,)), ((), ())),
+        # v_sel0 < Vpk == table-0's value lanes) — or on every
+        # row-half table when P == 1 and the vocab-tiled table splits
+        # rows (out-of-half indices one-hot to zero, sum is exact);
+        # lane pick via one-hot multiply+sum (batched dot_general with
+        # 2D lhs trips an MLIR bug — CLAUDE.md).
+        rows_v = None
+        for r, tbl_r in enumerate(lm if P == 1 else lm[:1]):
+            b1 = (lax.broadcasted_iota(jnp.int32, (Bt, S, VP), 2) ==
+                  jnp.expand_dims(last_s + 1 - np.int32(r * VP), 2)
+                  ).astype(jnp.float32)
+            rv = lax.dot_general(b1, tbl_r, (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+            rows_v = rv if rows_v is None else rows_v + rv
         ohv = (lax.broadcasted_iota(jnp.int32, (Bt, S, VPX), 2) ==
                jnp.expand_dims(v_sel0, 2)).astype(jnp.float32)
         extv = extv + jnp.sum(rows_v * ohv, axis=2)
@@ -774,7 +795,10 @@ def _kernel(f_ref, init_ref, *rest, W: int, V: int,
             match_impl: str = "grid", has_lm: bool = False):
     if has_lm:
         lm_ref, ys_ref, fin_ref, st = rest
-        lm = tuple(lm_ref[h] for h in range(P))
+        # table count: pack halves (P > 1, lane-shifted copies) OR
+        # row-halves (P == 1 with V + 1 > VP rows — the vocab-tiled
+        # V <= 2*VP - 1 case); _frame_math keys on P to tell them apart
+        lm = tuple(lm_ref[h] for h in range(lm_ref.shape[0]))
     else:
         ys_ref, fin_ref, st = rest
         lm = None
@@ -843,13 +867,14 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
 
     lm_q: optional [V+1, V] shallow-fusion LM bias table, ALREADY
     bf16-quantized and -0.0-sanitized (beam_search quantizes once for
-    both paths). Requires V <= 127 (table rows must fit the 128-lane
-    one-hot contraction; the VPX=256 vocab-tiling case falls back to
-    the XLA matched path in the dispatcher).
+    both paths). V <= 127 rides the pack-half tables; 128 <= V <= 255
+    splits the table into row-halves instead (one extra one-hot MXU
+    contraction per frame — r4, previously an XLA-matched fallback);
+    V = 256 alone is unsupported (257 rows > 2*VP).
     """
     T, B, V_in = log_probs.shape
     assert V_in == V and W <= S and V <= 2 * VP
-    assert lm_q is None or V <= VP - 1
+    assert lm_q is None or V <= 2 * VP - 1
     VPX = VP if V <= VP else 2 * VP
     if pack == 0:
         # auto: pack only when the packed row axis keeps >= 8 sublanes
@@ -899,15 +924,31 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
     ]
     operands = [f, init_packed]
     if lm_q is not None:
-        # P tables [VP, VPX]: table h holds the bias values in lane
-        # half h (see _frame_math); table 0 is the unshifted copy the
-        # rescore lookup uses. Constant index_map -> fetched once.
         Vpk = VPX // pack
-        tbl = jnp.stack([
-            jnp.pad(lm_q, ((0, VP - (V + 1)),
-                           (h * Vpk, VPX - V - h * Vpk)))
-            for h in range(pack)])
-        in_specs.append(pl.BlockSpec((pack, VP, VPX), lambda b, t: (0, 0, 0),
+        if V + 1 <= VP:
+            # P tables [VP, VPX]: table h holds the bias values in lane
+            # half h (see _frame_math); table 0 is the unshifted copy
+            # the rescore lookup uses. Constant index_map -> fetched
+            # once.
+            tbl = jnp.stack([
+                jnp.pad(lm_q, ((0, VP - (V + 1)),
+                               (h * Vpk, VPX - V - h * Vpk)))
+                for h in range(pack)])
+        else:
+            # row-half tables (V + 1 > VP, pack == 1 by construction):
+            # table r holds previous-char rows [r*VP, (r+1)*VP) at
+            # unshifted lanes; _frame_math one-hots (idx - r*VP) so
+            # out-of-half rows contribute exact zero
+            assert pack == 1
+            nt = -(-(V + 1) // VP)
+            tbl = jnp.stack([
+                jnp.pad(lm_q[r * VP:min((r + 1) * VP, V + 1)],
+                        ((0, VP - min(VP, V + 1 - r * VP)),
+                         (0, VPX - V)))
+                for r in range(nt)])
+        nt_tbl = tbl.shape[0]
+        in_specs.append(pl.BlockSpec((nt_tbl, VP, VPX),
+                                     lambda b, t: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(tbl)
     ys, fin = pl.pallas_call(

@@ -54,6 +54,8 @@ def test_pallas_equals_matched(W, V, T, B):
 @pytest.mark.parametrize("W,V,T,B", [
     (6, 5, 6, 2),        # pack=1 (W <= 8)
     pytest.param(20, 23, 6, 2, marks=pytest.mark.slow),   # pack=2
+    (6, 129, 4, 2),      # VPX=256 vocab tiling + row-half LM tables (r4)
+    pytest.param(6, 140, 4, 2, marks=pytest.mark.slow),   # uneven rows
 ])
 def test_pallas_lm_bias_equals_matched(W, V, T, B):
     # shallow-fusion LM bias rides the kernel (one-hot MXU table
@@ -199,11 +201,11 @@ def test_pallas_rejects_unsupported():
         ctc_beam_search(lp, beam_width=3, merge_impl="pallas",
                         algorithm="reference")
     with pytest.raises(ValueError):
-        # lm_bias is kernel-supported only for V <= 127 (one-hot table
-        # rows); the V > 128 vocab-tiling case must reject
-        ctc_beam_search(jnp.zeros((2, 1, 130), jnp.float32),
+        # lm_bias is kernel-supported through V <= 255 (row-half
+        # tables); V = 256 needs 257 rows > 2*VP and must reject
+        ctc_beam_search(jnp.zeros((2, 1, 256), jnp.float32),
                         beam_width=3, merge_impl="pallas",
-                        lm_bias=jnp.zeros((131, 130)))
+                        lm_bias=jnp.zeros((257, 256)))
     with pytest.raises(ValueError):
         # V > 256 is out of kernel range entirely
         ctc_beam_search(jnp.zeros((2, 1, 300), jnp.float32),
