@@ -91,13 +91,17 @@ def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
             use_pallas = (ok and cd == jnp.bfloat16
                           and jax.default_backend() == "tpu")
 
-    def proj(w, inp):
-        return jnp.einsum("tbd,de->tbe", c(inp), c(w),
-                          preferred_element_type=jnp.float32)
-
-    q = c(proj(params["wq"], x)).reshape(T, B, num_heads, dh)
-    k = c(proj(params["wk"], x)).reshape(T, B, num_heads, dh)
-    v = c(proj(params["wv"], x)).reshape(T, B, num_heads, dh)
+    # q/k/v in ONE [D, 3D] GEMM: column blocks of a matmul are
+    # independent, so this is bit-identical to three separate GEMMs
+    # while tripling the N dim the MXU sees (and cutting two kernel
+    # launches per block)
+    wqkv = jnp.concatenate([params["wq"], params["wk"], params["wv"]],
+                           axis=1)
+    qkv = c(jnp.einsum("tbd,de->tbe", c(x), c(wqkv),
+                       preferred_element_type=jnp.float32))
+    q = qkv[:, :, :D].reshape(T, B, num_heads, dh)
+    k = qkv[:, :, D:2 * D].reshape(T, B, num_heads, dh)
+    v = qkv[:, :, 2 * D:].reshape(T, B, num_heads, dh)
 
     if use_pallas:
         from gasr_tpu.ops.pallas.flash_mhsa import flash_mhsa_rel
