@@ -1577,9 +1577,9 @@ def _tb_kernel(ys_ref, len_ref, tok_ref, ts_ref, cur_fin_ref,
     cur_fin_ref[:] = cur
 
 
-@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "tblk"))
 def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
-                     L: int, interpret: bool = False):
+                     L: int, interpret: bool = False, tblk: int = 8):
     """Reverse backpointer walk + token materialization on-chip.
 
     packed_ys: [T, B, S'] (S' <= 128, padded to S lanes here);
@@ -1593,7 +1593,7 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
     if Sp < S:
         packed_ys = jnp.pad(packed_ys, ((0, 0), (0, 0), (0, S - Sp)))
         final_lengths = jnp.pad(final_lengths, ((0, 0), (0, S - Sp)))
-    TBLK = 8
+    TBLK = tblk
     t_pad = (-T) % TBLK
     if t_pad:
         # identity frames (parent = self, no append) prepended at the
