@@ -250,6 +250,15 @@ def measure_streaming(cfg, chunk_frames: int, iters: int, reps: int = 5):
 
     _log(f"compiling streaming decode ({n_chunks} x {chunk_frames})")
     _sync(run_stream())
+    # adaptive sizing like measure_ours: ~1 s per timed loop (a fixed
+    # iters=3 made this the jitteriest row in the table — r4)
+    t0 = time.perf_counter()
+    _sync(run_stream())
+    t_est = max(time.perf_counter() - t0, 1e-4)
+    import math
+    iters = min(100, max(iters, math.ceil(1.0 / t_est)))
+    _log(f"adaptive streaming iters: ~{t_est * 1e3:.1f} ms -> {iters} "
+         f"x {reps} reps")
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
