@@ -220,12 +220,17 @@ REPORT_PRESETS = ["reference_large", "bilstm_2x256", "deepspeech2",
                   "conformer_s", "conformer_l"]
 
 
-def measure_streaming(cfg, chunk_frames: int, iters: int, reps: int = 5):
+def measure_streaming(cfg, chunk_frames: int, iters=None, reps: int = 5):
     """Chunked streaming decode at the preset shape: forward once, then
     time `iters` full streaming decodes (T/chunk_frames streaming_step
     calls each, beam+prefix state carried across chunks). Overhead vs
     the batch decode row quantifies the streaming protocol cost.
-    Returns per-utterance-decode spread stats over `reps` timed loops."""
+    Returns per-utterance-decode spread stats over `reps` timed loops.
+
+    iters=None (the default) sizes the loop adaptively to ~1 s of
+    device time; an explicit iters is honored as passed (mirrors
+    measure_ours — a user pinning --iters for a quick run must not
+    silently get the larger adaptive count)."""
     import jax
     from gasr_tpu.models import model_apply, model_init
     from gasr_tpu.decoder.beam_search import streaming_init, streaming_step
@@ -250,15 +255,16 @@ def measure_streaming(cfg, chunk_frames: int, iters: int, reps: int = 5):
 
     _log(f"compiling streaming decode ({n_chunks} x {chunk_frames})")
     _sync(run_stream())
-    # adaptive sizing like measure_ours: ~1 s per timed loop (a fixed
-    # iters=3 made this the jitteriest row in the table — r4)
-    t0 = time.perf_counter()
-    _sync(run_stream())
-    t_est = max(time.perf_counter() - t0, 1e-4)
-    import math
-    iters = min(100, max(iters, math.ceil(1.0 / t_est)))
-    _log(f"adaptive streaming iters: ~{t_est * 1e3:.1f} ms -> {iters} "
-         f"x {reps} reps")
+    if iters is None:
+        # adaptive sizing like measure_ours: ~1 s per timed loop (a
+        # fixed iters=3 made this the jitteriest row in the table — r4)
+        t0 = time.perf_counter()
+        _sync(run_stream())
+        t_est = max(time.perf_counter() - t0, 1e-4)
+        import math
+        iters = min(100, max(3, math.ceil(1.0 / t_est)))
+        _log(f"adaptive streaming iters: ~{t_est * 1e3:.1f} ms -> "
+             f"{iters} x {reps} reps")
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -268,6 +274,66 @@ def measure_streaming(cfg, chunk_frames: int, iters: int, reps: int = 5):
         _sync(out)
         samples.append((time.perf_counter() - t0) / iters)
     return _spread_stats(samples)
+
+
+def measure_train(cfg, iters=None, reps: int = 5, compute_dtype=None,
+                  remat: bool = False):
+    """Time the jitted training step (fwd + CTC loss + bwd + adamw) at
+    the config's shape — the training axis of the per-round report
+    (VERDICT r4 ask #5; protocol extension of the reference's
+    inference-only harness, baseline/main.py:54-56).
+
+    compute_dtype overrides the config policy (e.g. force bf16 so the
+    conformer row exercises the flash-attention custom_vjp path that
+    TPU auto-dispatch takes). Params are donated across steps like a
+    real training loop. Returns spread stats over `reps` timed loops.
+    """
+    import math
+    import jax
+    from gasr_tpu.models import model_init
+    from gasr_tpu.train import (make_optimizer, make_train_step,
+                                synthetic_batch)
+
+    cd = compute_dtype
+    if cd is None and cfg.compute_dtype != "float32":
+        cd = cfg.compute_dtype
+    params = model_init(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer()
+    step = jax.jit(make_train_step(cfg, opt, remat=remat,
+                                   compute_dtype=cd),
+                   donate_argnums=(0, 1))
+    opt_state = opt.init(params)
+    batch = synthetic_batch(cfg, jax.random.PRNGKey(1))
+    _sync(batch)
+    _log("compiling train step")
+    params, opt_state, m = step(params, opt_state, batch)
+    _sync(m)
+    if iters is None:
+        t0 = time.perf_counter()
+        params, opt_state, m = step(params, opt_state, batch)
+        _sync(m)
+        t_est = max(time.perf_counter() - t0, 1e-4)
+        iters = min(100, max(3, math.ceil(1.0 / t_est)))
+        _log(f"adaptive train iters: ~{t_est * 1e3:.1f} ms -> {iters} "
+             f"x {reps} reps")
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, m = step(params, opt_state, batch)
+        _sync(m)
+        samples.append((time.perf_counter() - t0) / iters)
+    st = _spread_stats(samples)
+    _log(f"train: {st['median'] * 1e3:.1f} ms/step (range "
+         f"{st['min'] * 1e3:.1f}-{st['max'] * 1e3:.1f})")
+    return st
+
+
+# training rows for --report: (row name, preset, compute_dtype override)
+TRAIN_ROWS = [
+    ("train_flagship", "reference_large", None),
+    ("train_conformer_l_bf16", "conformer_l", "bfloat16"),
+]
 
 
 def _degrade_mesh(cfg):
@@ -325,7 +391,7 @@ def run_report(args):
     # streaming protocol row: flagship decode in Tc=20 chunks
     scfg = PRESETS["reference_large"]
     _log("=== streaming (flagship decode, Tc=20 chunks) ===")
-    st = measure_streaming(scfg, chunk_frames=20, iters=args.iters or 3)
+    st = measure_streaming(scfg, chunk_frames=20, iters=args.iters)
     audio = scfg.batch_size * scfg.seg_len * FRAME_SHIFT_S
     rows.append({
         "preset": "streaming_Tc20", "model": scfg.model,
@@ -338,6 +404,31 @@ def run_report(args):
         "reps": st["reps"], "fwd_tflop": None, "mfu_pct": None,
         "audio_s_per_s": round(audio / st["median"], 1),
     })
+    # training rows (step = fwd + CTC loss + bwd + adamw; MFU against
+    # the 3x-forward analytic count, runtime/flops.py)
+    from gasr_tpu.runtime.flops import model_train_flops
+    for row_name, preset, cd_override in TRAIN_ROWS:
+        tcfg = _degrade_mesh(PRESETS[preset])
+        _log(f"=== {row_name} (model={tcfg.model}) ===")
+        ts = measure_train(tcfg, iters=args.iters,
+                           compute_dtype=cd_override)
+        tflops = model_train_flops(tcfg)
+        tmfu = (tflops / ts["median"] / peak) if peak else None
+        audio = tcfg.batch_size * tcfg.seg_len * FRAME_SHIFT_S
+        rows.append({
+            "preset": row_name, "model": tcfg.model,
+            "batch": tcfg.batch_size, "T": tcfg.seg_len,
+            "beam": None,
+            "dtype": cd_override or tcfg.compute_dtype,
+            "forward_ms": round(ts["median"] * 1e3, 2),
+            "forward_ms_range": [round(ts["min"] * 1e3, 2),
+                                 round(ts["max"] * 1e3, 2)],
+            "decode_ms": None, "decode_ms_range": None,
+            "reps": ts["reps"],
+            "fwd_tflop": round(tflops / 1e12, 3),
+            "mfu_pct": round(tmfu * 100, 1) if tmfu is not None else None,
+            "audio_s_per_s": round(audio / ts["median"], 1),
+        })
     dev = str(jax.devices()[0])
     try:
         import subprocess
@@ -358,13 +449,18 @@ def run_report(args):
         "next to every claim. MFU = analytic fwd FLOPs / median fwd time",
         "/ chip bf16 peak (runtime/flops.py). The streaming row times",
         "the flagship decode fed in Tc=20 chunks (beam + prefix state",
-        "carried across streaming_step calls; fwd column n/a).", "",
+        "carried across streaming_step calls; fwd column n/a). train_*",
+        "rows time the full jitted training step (fwd + CTC loss + bwd",
+        "+ adamw, params donated); their 'fwd ms' column is ms/STEP and",
+        "MFU is against the 3x-forward analytic train FLOP count.", "",
         "| preset | model | B | T | beam | dtype | fwd ms [min,max] | "
         "decode ms [min,max] | TFLOP | MFU% | audio-s/s |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
 
     def _rng(med, rng):
+        if med is None:
+            return "-"
         if rng is None:
             return f"{med}"
         return f"{med} [{rng[0]}, {rng[1]}]"
@@ -372,7 +468,8 @@ def run_report(args):
     for r in rows:
         lines.append(
             f"| {r['preset']} | {r['model']} | {r['batch']} | {r['T']} | "
-            f"{r['beam']} | {r['dtype']} | "
+            f"{r['beam'] if r['beam'] is not None else '-'} | "
+            f"{r['dtype']} | "
             f"{_rng(r['forward_ms'], r['forward_ms_range'])} | "
             f"{_rng(r['decode_ms'], r['decode_ms_range'])} | "
             f"{r['fwd_tflop'] if r['fwd_tflop'] is not None else '-'} | "
@@ -456,10 +553,32 @@ def run_scaling(args):
         #    compute term of the projection
         cfg = PRESETS["reference_large"]
         if backend == "cpu":
-            # CI/CPU: seed from the recorded flagship numbers instead
-            # of timing a CPU forward that models nothing
-            step_s = 0.080
-            seed_src = "recorded r4 flagship fwd+decode (~80 ms)"
+            # CI/CPU: seed from the most recent RECORDED flagship
+            # measurement (driver BENCH artifact) instead of timing a
+            # CPU forward that models nothing — and instead of a
+            # hardcoded literal that goes stale (ADVICE r4)
+            step_s, seed_src = None, None
+            import glob
+            import re
+            for path in sorted(glob.glob(os.path.join(here,
+                                                      "BENCH_r*.json")),
+                               reverse=True):
+                try:
+                    with open(path) as f:
+                        blob = json.load(f)
+                    m = re.search(r'"overall_s":\s*([0-9.eE+-]+)',
+                                  blob.get("tail", ""))
+                    if m:
+                        step_s = float(m.group(1))
+                        seed_src = (f"recorded flagship fwd+decode from "
+                                    f"{os.path.basename(path)}")
+                        break
+                except Exception:    # noqa: BLE001
+                    continue
+            if step_s is None:
+                step_s = 0.080
+                seed_src = ("fallback literal (~80 ms r4 flagship; no "
+                            "BENCH_r*.json artifact found)")
         else:
             r = measure_ours(cfg, args.iters or 10, decode=True,
                              reps=3)
@@ -512,7 +631,11 @@ def run_scaling(args):
         }
     with open(os.path.join(here, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({"metric": "dp_weak_scaling_efficiency",
+    # metric name states the mode: _projected rows are an analytic
+    # ICI-roofline model, not a measurement (ADVICE r4)
+    metric = ("dp_weak_scaling_efficiency" if result["mode"] == "measured"
+              else "dp_weak_scaling_efficiency_projected")
+    print(json.dumps({"metric": metric,
                       "value": rows[-1]["efficiency"] if rows else None,
                       "unit": "fraction",
                       "vs_baseline": None,

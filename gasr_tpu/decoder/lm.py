@@ -19,6 +19,21 @@ Both return weight * ln P(c | prev) over the char columns; the blank
 column (never appended) and non-char ids stay 0. Tables are consumed at
 bfloat16 resolution identically on every decode path (see
 beam_search.ctc_beam_search's lm_bias contract).
+
+SCOPE: shallow fusion state is the LAST CHARACTER ONLY (bigram). The
+ARPA reader ingests 1-/2-gram sections; higher orders are ignored.
+Trigram+ fusion needs last-2-char state per beam slot, and was
+REJECTED for the fused decode path after sizing it (r5): the bias
+lookup becomes a [(V+1)^2, V] table (2304 rows at the flagship V=47
+— an order of magnitude past the 257-row ceiling the kernel's
+row-half table trick supports, ops/pallas/fused_decode.py), so a
+trigram decode would forfeit the fused kernel and run the ~2x slower
+XLA matched path, while also widening the packed per-slot kernel
+state by a lane field that every merge/exchange/TP path carries for
+the bigram-only majority case. The reference itself never exercises
+any LM (ctcdecode's `model_path` hook is unused, baseline/main.py:28);
+bigram fusion covers the capability surface with measured kernel
+support through V <= 255.
 """
 
 from __future__ import annotations

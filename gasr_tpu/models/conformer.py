@@ -25,7 +25,7 @@ from jax import lax
 
 from gasr_tpu.config import Config
 from gasr_tpu.ops.attention import mhsa_rel, mhsa_rel_init
-from gasr_tpu.ops.conv import conv2d, conv2d_init
+from gasr_tpu.ops.conv import conv2d, conv2d_init, conv_mixed
 from gasr_tpu.ops.linear import linear, linear_init
 
 _PRESETS = {
@@ -106,11 +106,11 @@ def _convmod(p: dict, x: jax.Array, kernel: int, cd=None) -> jax.Array:
     hw = jnp.transpose(h, (1, 0, 2))
     D = hw.shape[-1]
     dw = p["dw"] if cd is None else p["dw"].astype(cd)
-    hw = lax.conv_general_dilated(
-        hw, dw, window_strides=(1,), padding="SAME",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=D,
-        preferred_element_type=jnp.float32) + p["dw_b"]
+    # conv_mixed: grad-safe mixed-dtype conv (ops/conv.py, r5) — plain
+    # lax.conv with bf16 operands + f32 preferred type crashes under
+    # jax.grad, which is why bf16 conformer training didn't exist in r4
+    hw = conv_mixed(hw, dw, (1,), "SAME", ("NWC", "WIO", "NWC"),
+                    D) + p["dw_b"]
     if cd is not None:
         hw = hw.astype(cd)
     h = jnp.transpose(hw, (1, 0, 2))
@@ -132,11 +132,11 @@ def _block_init(key, d: int, heads: int, ff_mult: int, kernel: int) -> dict:
 
 
 def _block(p: dict, x: jax.Array, heads: int, kernel: int,
-           mask=None, cd=None) -> jax.Array:
+           mask=None, cd=None, attn_impl: str = "auto") -> jax.Array:
     half = jnp.asarray(0.5, x.dtype)
     x = x + half * _ffn(p["ff1"], x, cd)
     a = mhsa_rel(p["mhsa"], _ln(p["mhsa_ln"], x), heads, mask,
-                 compute_dtype=cd)
+                 compute_dtype=cd, impl=attn_impl)
     x = x + (a if cd is None else a.astype(cd))
     x = x + _convmod(p["conv"], x, kernel, cd)
     x = x + half * _ffn(p["ff2"], x, cd)
@@ -168,7 +168,8 @@ def conformer_init(key: jax.Array, config: Config,
 
 
 def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
-                    compute_dtype=None, **_) -> jax.Array:
+                    compute_dtype=None, attn_impl: str = "auto",
+                    **_) -> jax.Array:
     """x: [B, T, F] -> log-probs [T//4, B, vocab+1].
 
     compute_dtype (e.g. jnp.bfloat16): mixed-precision policy — params
@@ -192,6 +193,6 @@ def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
     h = _lin(params["sub_proj"], h, cd)
     h = jnp.transpose(h, (1, 0, 2))                # [T', B, d]
     for blk in params["blocks"]:
-        h = _block(blk, h, heads, kernel, mask, cd)
+        h = _block(blk, h, heads, kernel, mask, cd, attn_impl)
     logits = linear(params["proj"], h, activation=None, compute_dtype=cd)
     return jax.nn.log_softmax(logits, axis=-1)

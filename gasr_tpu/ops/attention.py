@@ -75,6 +75,18 @@ def mhsa_rel(params: dict, x: jax.Array, num_heads: int,
     eligible, and masking is either absent or expressible as prefix
     `lengths` [B] (the kernel's mask form; an arbitrary boolean mask
     falls back to XLA).
+
+    bf16-compute contract of impl="pallas": EXPLICITLY forcing the
+    kernel always computes q/k/v projections of the attention inner
+    math at bf16 regardless of compute_dtype — with compute_dtype=None
+    only the OUTPUT dtype is restored to f32 (out_f32). Callers who
+    need f32 attention math must use impl="xla"/"auto"; "auto" encodes
+    exactly that rule.
+
+    Differentiable (r5): the pallas path carries a custom_vjp
+    (flash_ref recompute backward), so jax.grad through impl="pallas"
+    or the auto->pallas dispatch is supported — conformer bf16 training
+    rides the flash forward.
     """
     T, B, D = x.shape
     dh = D // num_heads

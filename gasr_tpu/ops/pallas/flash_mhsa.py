@@ -115,19 +115,11 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ws_ref, wc_ref, cs_ref, sn_ref,
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_f32", "interpret"))
-def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
-                   wr: jax.Array, u: jax.Array, vb: jax.Array,
-                   lengths: jax.Array,
-                   out_f32: bool = False,
-                   interpret: bool = False) -> jax.Array:
-    """q/k/v: [B, H, T, dh] (any float dtype; cast to bf16 inside),
-    wr: [D, D] rel-pos projection (D = H*dh; applied to the sinusoid
-    basis INSIDE the kernel via the factorized identity), u/vb: [H, dh]
-    content/position biases, lengths: [B] int32 valid key counts (pass
-    jnp.full((B,), T) for unmasked). Returns [B, H, T, dh] (f32 when
-    out_f32 else bf16).
-    """
+def _flash_fwd_impl(out_f32: bool, interpret: bool,
+                    q: jax.Array, k: jax.Array, v: jax.Array,
+                    wr: jax.Array, u: jax.Array, vb: jax.Array,
+                    lengths: jax.Array) -> jax.Array:
+    """The pallas_call forward (see flash_mhsa_rel for the contract)."""
     B, H, T, dh = q.shape
     D = H * dh
     assert wr.shape == (D, D) and u.shape == (H, dh) and vb.shape == (H, dh)
@@ -194,6 +186,120 @@ def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(lengths.astype(jnp.int32), qp, kp, vp, ws, wc, cs, sn, u3, vb3)
     return out[:, :, :T]
+
+
+def flash_ref(q: jax.Array, k: jax.Array, v: jax.Array,
+              wr: jax.Array, u: jax.Array, vb: jax.Array,
+              lengths: jax.Array, out_f32: bool = False) -> jax.Array:
+    """Pure-XLA twin of the kernel math — the SAME factorized-sinusoid
+    formulation (angle-addition matmuls, bf16 operands, f32 accumulate,
+    f32 softmax), so like the kernel it never materializes a
+    [B, H, T, 2T-1] rel-shift tensor. Differences from the kernel are
+    f32/bf16 rounding only.
+
+    Two jobs: (a) the recompute function for the custom_vjp backward —
+    its VJP is the flash path's gradient; (b) an interpret-free
+    correctness oracle for the kernel.
+
+    MXU-dtype emulation: operands are ROUNDED to bf16 then fed to the
+    contractions as f32 (`_mx` below) — numerically identical to the
+    TPU's bf16xbf16->f32 MXU dot, and portable to CPU XLA, whose
+    DotThunk rejects bf16 operands with an f32 preferred type."""
+    B, H, T, dh = q.shape
+    D = H * dh
+    half = D // 2
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    _mx = lambda a: a.astype(bf).astype(f32)         # bf16 rounding, f32 dot
+    scale = np.float32(1.0 / math.sqrt(dh))
+    qb, kb, va = q.astype(bf), k.astype(bf), v.astype(bf)
+    qu = _mx(qb + u.astype(bf)[None, :, None, :])
+    qv = _mx(qb + vb.astype(bf)[None, :, None, :])
+    ac = jnp.einsum("bhtd,bhsd->bhts", qu, _mx(kb))
+    wrh = wr.astype(bf).reshape(D, H, dh)
+    ws = jnp.transpose(wrh[:half], (1, 2, 0))        # [H, dh, half]
+    wc = jnp.transpose(wrh[half:2 * half], (1, 2, 0))
+    us = jnp.einsum("bhtd,hdf->bhtf", qv, _mx(ws))
+    uc = jnp.einsum("bhtd,hdf->bhtf", qv, _mx(wc))
+    inv = jnp.exp(-jnp.arange(0, D, 2, dtype=f32)
+                  * (math.log(10000.0) / D))         # [half]
+    ang = jnp.arange(T, dtype=f32)[:, None] * inv[None, :]
+    cs = jnp.cos(ang).astype(bf)                     # [T, half]
+    sn = jnp.sin(ang).astype(bf)
+    snf, csf = sn.astype(f32), cs.astype(f32)
+    A = _mx(us.astype(bf) * sn[None, None]
+            + uc.astype(bf) * cs[None, None])        # query-indexed
+    Bm = _mx(uc.astype(bf) * sn[None, None]
+             - us.astype(bf) * cs[None, None])
+    bd = (jnp.einsum("bhtf,sf->bhts", A, csf)
+          + jnp.einsum("bhtf,sf->bhts", Bm, snf))
+    scores = (ac + bd) * scale
+    valid = jnp.arange(T)[None, :] < lengths[:, None]      # keys
+    scores = jnp.where(valid[:, None, None, :], scores, NEG)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", _mx(attn), _mx(va))
+    return out if out_f32 else out.astype(bf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_core(out_f32, interpret, q, k, v, wr, u, vb, lengths):
+    return _flash_fwd_impl(out_f32, interpret, q, k, v, wr, u, vb,
+                           lengths)
+
+
+def _flash_core_fwd(out_f32, interpret, q, k, v, wr, u, vb, lengths):
+    out = _flash_fwd_impl(out_f32, interpret, q, k, v, wr, u, vb,
+                          lengths)
+    return out, (q, k, v, wr, u, vb, lengths)
+
+
+def _flash_core_bwd(out_f32, interpret, res, g):
+    """Recompute backward: VJP of flash_ref at the saved primals.
+
+    flash_ref is the factorized form, so the backward — like the
+    forward — never touches a [B, H, T, 2T-1] tensor; XLA differentiates
+    a plain matmul/softmax chain whose largest transient is the
+    [B, H, T, T] score tile (92 MB bf16 at conformer_l's B=64 T'=300,
+    live only inside this block's bwd). A hand-written Pallas backward
+    kernel was measured unnecessary: see docs/KERNEL_PLAN.md (train-step
+    profile — bwd attention is not the dominant slice)."""
+    q, k, v, wr, u, vb, lengths = res
+    _, pull = jax.vjp(
+        lambda q_, k_, v_, wr_, u_, vb_: flash_ref(
+            q_, k_, v_, wr_, u_, vb_, lengths, out_f32=out_f32),
+        q, k, v, wr, u, vb)
+    dq, dk, dv, dwr, du, dvb = pull(g.astype(jnp.float32) if out_f32
+                                    else g.astype(jnp.bfloat16))
+    dlen = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dwr.astype(wr.dtype), du.astype(u.dtype),
+            dvb.astype(vb.dtype), dlen)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("out_f32", "interpret"))
+def flash_mhsa_rel(q: jax.Array, k: jax.Array, v: jax.Array,
+                   wr: jax.Array, u: jax.Array, vb: jax.Array,
+                   lengths: jax.Array,
+                   out_f32: bool = False,
+                   interpret: bool = False) -> jax.Array:
+    """q/k/v: [B, H, T, dh] (any float dtype; cast to bf16 inside),
+    wr: [D, D] rel-pos projection (D = H*dh; applied to the sinusoid
+    basis INSIDE the kernel via the factorized identity), u/vb: [H, dh]
+    content/position biases, lengths: [B] int32 valid key counts (pass
+    jnp.full((B,), T) for unmasked). Returns [B, H, T, dh] (f32 when
+    out_f32 else bf16).
+
+    DIFFERENTIABLE (r5): jax.grad flows through via a custom_vjp whose
+    backward is the VJP of flash_ref (XLA recompute of the identical
+    factorized math) — fast flash forward, correct grads, no O(T^2)
+    HBM tensor in either direction.
+    """
+    B, H, T, dh = q.shape
+    assert wr.shape[0] == H * dh
+    return _flash_core(out_f32, interpret, q, k, v, wr, u, vb, lengths)
 
 
 def flash_eligible(T: int, dh: int, D: int) -> bool:

@@ -127,3 +127,13 @@ def model_fwd_flops(cfg: Config) -> float:
         return f
 
     raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def model_train_flops(cfg: Config) -> float:
+    """Analytic FLOPs for one training step = 3x forward (the standard
+    accounting: backward costs ~2 forwards — dL/dW and dL/dx are each a
+    forward-sized GEMM set). CTC loss (O(B*T*S) scan) and the optimizer
+    (O(params) elementwise) are counted as zero, which slightly
+    UNDERSTATES train MFU; the r4 hardware breakdown
+    (scripts/tpu_r4_train_probe.py) bounds their real share."""
+    return 3.0 * model_fwd_flops(cfg)

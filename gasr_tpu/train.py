@@ -36,7 +36,8 @@ def make_train_step(config: Config,
                     optimizer: optax.GradientTransformation,
                     remat: bool = False,
                     compute_dtype=None,
-                    augment: bool = False):
+                    augment: bool = False,
+                    attn_impl: str = "auto"):
     """Returns train_step(params, opt_state, batch[, key]) ->
     (params, opt_state, metrics). Pure; jit/pjit with any shardings.
 
@@ -46,6 +47,9 @@ def make_train_step(config: Config,
     compute_dtype: e.g. jnp.bfloat16 — mixed-precision policy (params
     and loss stay f32; model matmuls run at the reduced dtype).
     augment: apply SpecAugment to the input features (requires `key`).
+    attn_impl: forwarded to the conformer families ("auto" | "xla" |
+    "pallas") — grads through the flash path are supported (custom_vjp,
+    r5), so bf16 conformer training rides the fast forward.
     """
 
     def forward(params, inputs):
@@ -55,6 +59,8 @@ def make_train_step(config: Config,
             # honor it; bilstm/ds2 swallow it via **_ — their recurrent
             # cores are f32-bound by the scan carry either way)
             kw["compute_dtype"] = compute_dtype
+        if attn_impl != "auto":
+            kw["attn_impl"] = attn_impl
         return model_apply(config, params, inputs, **kw)
 
     fwd = jax.checkpoint(forward) if remat else forward
