@@ -483,6 +483,17 @@ def run_report(args):
         lines += ["", "## Data-parallel weak scaling", "",
                   f"Backend: {sc['backend']} ({sc['n_devices']} devices)"
                   f" — {sc['caveat']}"]
+        mv = sc.get("measured_virtual")
+        if mv:
+            lines += [
+                "",
+                f"Harness pin (measured, virtual 8-device mesh, fixed "
+                f"total work): efficiency {mv['efficiency_measured']:.3f}"
+                f" vs analytic ~{mv['analytic_predicted']:.1f} "
+                f"(tolerance {mv['tolerance']}, within="
+                f"{mv['within_tolerance']}); the projection rows also "
+                f"carry efficiency_overlap0 (no-overlap worst case) in "
+                f"SCALING.json."]
         if sc.get("mode") == "analytic_projection":
             lines += [
                 "",
@@ -589,27 +600,36 @@ def run_scaling(args):
         counts = [1, 2, 4, 8, 16, 32, 64, 256]
         rows = analytic_dp_projection(cfg, counts, step_s)
         # 2) virtual-mesh protocol check (sharding compiles+executes)
+        #    + the MEASURED fixed-work point that pins the harness
+        #    (strong scaling on the virtual mesh: same total work on
+        #    mesh n=1 vs n=8 must cost ~the same; VERDICT r4 ask #8)
         proto = {"ran": False}
+        measured_virtual = None
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    PALLAS_AXON_POOL_IPS="", PYTHONPATH="",
                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
         try:
             out = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax, numpy as np\n"
+                 "import jax, json, numpy as np\n"
                  "from gasr_tpu.config import Config\n"
-                 "from gasr_tpu.parallel.scaling import "
-                 "measure_dp_scaling\n"
+                 "from gasr_tpu.parallel.scaling import (\n"
+                 "    measure_dp_scaling, measure_fixed_work_virtual)\n"
                  "cfg = Config(batch_size=4, linear_size=64, "
                  "rnn_hidden_size=64, seg_len=20, beam_width=4)\n"
                  "rows = measure_dp_scaling(cfg, [1, 8], iters=2)\n"
                  "assert len(rows) == 2 and all(\n"
                  "    np.isfinite(r['iter_s']) for r in rows)\n"
-                 "print('protocol ok')"],
+                 "print('protocol ok')\n"
+                 "print('MV=' + json.dumps(\n"
+                 "    measure_fixed_work_virtual()))"],
                 env=env, cwd=here, capture_output=True, text=True,
                 timeout=900)
             proto = {"ran": True, "rc": out.returncode,
                      "ok": "protocol ok" in out.stdout}
+            for line in out.stdout.splitlines():
+                if line.startswith("MV="):
+                    measured_virtual = json.loads(line[3:])
         except Exception as e:           # noqa: BLE001
             proto = {"ran": True, "error": str(e)[:200]}
         result = {
@@ -624,6 +644,7 @@ def run_scaling(args):
                       "behind compute (conservative)"),
             "rows": rows,
             "protocol_check": proto,
+            "measured_virtual": measured_virtual,
             "caveat": ("1 real chip on a 2-core host: N-chip rows are "
                        "an analytic ICI roofline seeded by the "
                        "measured single-chip step; the CPU-mesh run "
