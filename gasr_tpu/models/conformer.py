@@ -169,7 +169,7 @@ def conformer_init(key: jax.Array, config: Config,
 
 def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
                     compute_dtype=None, attn_impl: str = "auto",
-                    **_) -> jax.Array:
+                    stem_impl: str = "auto", **_) -> jax.Array:
     """x: [B, T, F] -> log-probs [T//4, B, vocab+1].
 
     compute_dtype (e.g. jnp.bfloat16): mixed-precision policy — params
@@ -185,12 +185,35 @@ def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
         cd = None if cd == "float32" else jnp.dtype(cd)
     d, heads, kernel = hp["d_model"], hp["num_heads"], hp["conv_kernel"]
     B, T, F = x.shape
-    h = x[:, :, :, None]                           # [B, T, F, 1]
-    h = conv2d(params["sub1"], h, (2, 2), compute_dtype=cd)
-    h = conv2d(params["sub2"], h, (2, 2), compute_dtype=cd)  # [B,T/4,F/4,d]
-    Bt, Tp, Fp, C = h.shape
-    h = h.reshape(B, Tp, Fp * C)
-    h = _lin(params["sub_proj"], h, cd)
+
+    use_stem_kernel = False
+    if stem_impl in ("auto", "pallas"):
+        from gasr_tpu.ops.pallas.stem import stem_eligible
+        ok = stem_eligible(T, F, d, d)
+        if stem_impl == "pallas":
+            use_stem_kernel = ok
+        else:
+            # same dispatch contract as attention: the kernel computes
+            # at bf16, so auto takes it only under a bf16 policy on TPU
+            use_stem_kernel = (ok and cd == jnp.bfloat16
+                               and jax.default_backend() == "tpu")
+    if use_stem_kernel:
+        # fused parity-plane stem (ops/pallas/stem.py): conv2 + clip +
+        # sub_proj in one kernel, accumulators VMEM-resident;
+        # differentiable via the stem_ref recompute custom_vjp
+        from gasr_tpu.ops.pallas.stem import fused_stem
+        h = fused_stem(x, params["sub1"]["w"], params["sub1"]["b"],
+                       params["sub2"]["w"], params["sub2"]["b"],
+                       params["sub_proj"]["w"], params["sub_proj"]["b"],
+                       interpret=jax.default_backend() != "tpu",
+                       out_dtype=cd if cd is not None else jnp.float32)
+    else:
+        h = x[:, :, :, None]                       # [B, T, F, 1]
+        h = conv2d(params["sub1"], h, (2, 2), compute_dtype=cd)
+        h = conv2d(params["sub2"], h, (2, 2), compute_dtype=cd)
+        Bt, Tp, Fp, C = h.shape                    # [B, T/4, F/4, d]
+        h = h.reshape(B, Tp, Fp * C)
+        h = _lin(params["sub_proj"], h, cd)
     h = jnp.transpose(h, (1, 0, 2))                # [T', B, d]
     for blk in params["blocks"]:
         h = _block(blk, h, heads, kernel, mask, cd, attn_impl)

@@ -37,7 +37,8 @@ def make_train_step(config: Config,
                     remat: bool = False,
                     compute_dtype=None,
                     augment: bool = False,
-                    attn_impl: str = "auto"):
+                    attn_impl: str = "auto",
+                    stem_impl: str = "auto"):
     """Returns train_step(params, opt_state, batch[, key]) ->
     (params, opt_state, metrics). Pure; jit/pjit with any shardings.
 
@@ -61,6 +62,8 @@ def make_train_step(config: Config,
             kw["compute_dtype"] = compute_dtype
         if attn_impl != "auto":
             kw["attn_impl"] = attn_impl
+        if stem_impl != "auto":
+            kw["stem_impl"] = stem_impl
         return model_apply(config, params, inputs, **kw)
 
     fwd = jax.checkpoint(forward) if remat else forward
