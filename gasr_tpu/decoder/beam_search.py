@@ -512,24 +512,42 @@ def _traceback(packed_ys, final_lengths, L,
                 packed_ys, jnp.full_like(final_lengths, Tc), Tc,
                 interpret=interpret)
             off = (final_lengths - Tc)[:, :, None]       # [B, W, 1]
-            idxL = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-            sp3 = start_parent[:, :, None]
-            tokens = jnp.take_along_axis(base_tokens, sp3, axis=1)
-            tsteps = jnp.take_along_axis(base_timesteps, sp3, axis=1)
+            # base-buffer beam reorder as an EXACT one-hot matmul:
+            # take_along_axis(axis=1) with per-(b, w) indices lowers to
+            # an element gather that measured 5.7 ms / 10 chunks on TPU
+            # (r5 stage profile); a [B, W, W] one-hot against the
+            # concatenated [B, W, 2L] buffers rides the MXU instead.
+            # Precision.HIGHEST splits each f32 operand into 3 bf16
+            # limbs (24 mantissa bits), and a one-hot row selects a
+            # single column, so int32 values round-trip EXACTLY through
+            # f32 while |v| < 2^24 (tokens < 2^15; timesteps < 2^24 =
+            # ~46 h of 10 ms frames — checked in tests).
+            onehot = (start_parent[:, :, None]
+                      == jnp.arange(base_tokens.shape[1],
+                                    dtype=jnp.int32)[None, None, :]
+                      ).astype(jnp.float32)              # [B, W, Wold]
+            cat = jnp.concatenate(
+                [base_tokens, base_timesteps], axis=2).astype(jnp.float32)
+            cat = jnp.einsum("bvw,bwl->bvl", onehot, cat,
+                             precision=lax.Precision.HIGHEST
+                             ).astype(jnp.int32)         # [B, W, 2L]
             # commit the <= Tc chunk emissions with one iota-compare
-            # select per relative slot. NOT a [B, W, L] take_along_axis:
+            # select per relative slot, over the SINGLE concatenated
+            # buffer (one fused pass). NOT a [B, W, L] take_along_axis:
             # a dynamically-indexed gather of B*W*L elements measured
             # ~135 ms/chunk on TPU (the r4 first cut: streaming 99.7
-            # -> 1418 ms); these Tc selects are elementwise, so XLA
-            # fuses them into ONE pass over the token buffers.
+            # -> 1418 ms).
+            relidx = jnp.concatenate(
+                [jnp.arange(L, dtype=jnp.int32)] * 2)[None, None, :]
+            is_tok = (jnp.arange(2 * L) < L)[None, None, :]
             for j in range(Tc):
                 pos_j = off + j                          # [B, W, 1]
                 tok_j = k_tok[:, :, j:j + 1]
                 t_j = k_rel[:, :, j:j + 1]
-                hit = (idxL == pos_j) & (tok_j >= 0)
-                tokens = jnp.where(hit, tok_j, tokens)
-                tsteps = jnp.where(hit, t_j + t_offset, tsteps)
-            return tokens, tsteps, start_parent
+                hit = (relidx == pos_j) & (tok_j >= 0)
+                val = jnp.where(is_tok, tok_j, t_j + t_offset)
+                cat = jnp.where(hit, val, cat)
+            return cat[:, :, :L], cat[:, :, L:], start_parent
         k_tok, k_t, start_parent = traceback_pallas(
             packed_ys, final_lengths, L_eff, interpret=interpret)
         if L_eff < L:
@@ -540,15 +558,21 @@ def _traceback(packed_ys, final_lengths, L,
         if base_tokens is None:
             return k_tok, k_t, start_parent
 
-        def overlay(kern, buf):
-            base = jnp.take_along_axis(buf, start_parent[:, :, None],
-                                       axis=1)
-            return jnp.where(k_tok >= 0, kern, base)
-
+        # same one-hot MXU reorder as the streaming_rel path (exact for
+        # |v| < 2^24; take_along_axis here is an element gather on TPU)
+        onehot = (start_parent[:, :, None]
+                  == jnp.arange(base_tokens.shape[1],
+                                dtype=jnp.int32)[None, None, :]
+                  ).astype(jnp.float32)
+        cat = jnp.concatenate(
+            [base_tokens, base_timesteps], axis=2).astype(jnp.float32)
+        cat = jnp.einsum("bvw,bwl->bvl", onehot, cat,
+                         precision=lax.Precision.HIGHEST
+                         ).astype(jnp.int32)
         # mask on k_tok for BOTH buffers: a chunk emission always writes
         # token >= 0 and timestep >= 0 at the same positions
-        return (overlay(k_tok, base_tokens),
-                overlay(k_t, base_timesteps), start_parent)
+        return (jnp.where(k_tok >= 0, k_tok, cat[:, :, :L]),
+                jnp.where(k_tok >= 0, k_t, cat[:, :, L:]), start_parent)
 
     cur0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (B, W))
     t_idx = t_offset + jnp.arange(Tc, dtype=jnp.int32)

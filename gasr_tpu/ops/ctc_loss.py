@@ -71,19 +71,24 @@ def ctc_loss(log_probs: jax.Array, labels: jax.Array,
     lp = jnp.where(pad[:, :, None],
                    onehot_blank[None, None, :], log_probs)        # [T, B, V]
 
-    # emission log-probs along z per frame: [T, B, L]
-    def emit(lp_t):
-        return jnp.take_along_axis(lp_t, z, axis=1)               # [B, L]
+    # emission log-probs along z, gathered for ALL frames before the
+    # scan: [T, B, L]. The r4 train-step breakdown measured the CTC
+    # scan at 16.5 ms of an 86 ms flagship step — each of the 200
+    # sequential steps was paying a [B, V]->[B, L] gather dispatch for
+    # ~10k elements of real work. One batched gather + an unrolled
+    # elementwise-only scan body removes the overhead without changing
+    # a single arithmetic op (bit-identical losses; r5).
+    e_all = jnp.take_along_axis(
+        lp, jnp.broadcast_to(z[None], (T, B, L)), axis=2)         # [T, B, L]
 
     valid_k = k[None, :] < ext_len[:, None]                       # [B, L]
 
     alpha0 = jnp.full((B, L), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(0.0)
     alpha0 = alpha0.at[:, 1].set(jnp.where(label_lengths > 0, 0.0, NEG_INF))
-    alpha0 = jnp.where(valid_k, alpha0 + emit(lp[0]), NEG_INF)
+    alpha0 = jnp.where(valid_k, alpha0 + e_all[0], NEG_INF)
 
-    def step(alpha, lp_t):
-        e = jnp.take_along_axis(lp_t, z, axis=1)
+    def step(alpha, e):
         a1 = jnp.concatenate(
             [jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
         a2 = jnp.concatenate(
@@ -93,7 +98,7 @@ def ctc_loss(log_probs: jax.Array, labels: jax.Array,
         new = jnp.where(valid_k, new, NEG_INF)
         return new, None
 
-    alpha, _ = lax.scan(step, alpha0, lp[1:])
+    alpha, _ = lax.scan(step, alpha0, e_all[1:], unroll=8)
 
     # answer: logsumexp of the last two valid positions
     last = jnp.take_along_axis(alpha, (ext_len - 1)[:, None], axis=1)[:, 0]

@@ -253,23 +253,48 @@ def _flash_core_fwd(out_f32, interpret, q, k, v, wr, u, vb, lengths):
     return out, (q, k, v, wr, u, vb, lengths)
 
 
+# largest [Bc, H, T, T] f32 score transient the recompute backward may
+# materialize at once; batches above it run the bwd in lax.map chunks
+_BWD_SCORE_BYTES = 48 * 2**20
+
+
 def _flash_core_bwd(out_f32, interpret, res, g):
     """Recompute backward: VJP of flash_ref at the saved primals.
 
     flash_ref is the factorized form, so the backward — like the
     forward — never touches a [B, H, T, 2T-1] tensor; XLA differentiates
     a plain matmul/softmax chain whose largest transient is the
-    [B, H, T, T] score tile (92 MB bf16 at conformer_l's B=64 T'=300,
-    live only inside this block's bwd). A hand-written Pallas backward
-    kernel was measured unnecessary: see docs/KERNEL_PLAN.md (train-step
-    profile — bwd attention is not the dominant slice)."""
+    [B, H, T, T] score tile. At conformer_l scale (B=64 H=8 T'=300:
+    184 MB f32) one fused bwd blew up the remote compile helper
+    (r5 probe: HTTP 500, conformer_s compiled fine), so batches whose
+    score tile exceeds _BWD_SCORE_BYTES run the VJP under lax.map over
+    batch chunks — weight grads sum across chunks in f32, q/k/v grads
+    concatenate; identical math, bounded transients."""
     q, k, v, wr, u, vb, lengths = res
-    _, pull = jax.vjp(
-        lambda q_, k_, v_, wr_, u_, vb_: flash_ref(
-            q_, k_, v_, wr_, u_, vb_, lengths, out_f32=out_f32),
-        q, k, v, wr, u, vb)
-    dq, dk, dv, dwr, du, dvb = pull(g.astype(jnp.float32) if out_f32
-                                    else g.astype(jnp.bfloat16))
+    B, H, T, dh = q.shape
+    gc_ = g.astype(jnp.float32) if out_f32 else g.astype(jnp.bfloat16)
+
+    def pull_chunk(qc, kc, vc, lc, gcc):
+        _, pull = jax.vjp(
+            lambda q_, k_, v_, wr_, u_, vb_: flash_ref(
+                q_, k_, v_, wr_, u_, vb_, lc, out_f32=out_f32),
+            qc, kc, vc, wr, u, vb)
+        return pull(gcc)
+
+    score_bytes = B * H * T * T * 4
+    nchunks = min(B, max(1, -(-score_bytes // _BWD_SCORE_BYTES)))
+    while B % nchunks:
+        nchunks += 1
+    if nchunks == 1:
+        dq, dk, dv, dwr, du, dvb = pull_chunk(q, k, v, lengths, gc_)
+    else:
+        Bc = B // nchunks
+        resh = lambda a: a.reshape((nchunks, Bc) + a.shape[1:])
+        outs = lax.map(
+            lambda args: pull_chunk(*args),
+            (resh(q), resh(k), resh(v), resh(lengths), resh(gc_)))
+        dq, dk, dv = (o.reshape((B,) + o.shape[2:]) for o in outs[:3])
+        dwr, du, dvb = (o.astype(jnp.float32).sum(0) for o in outs[3:])
     dlen = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dwr.astype(wr.dtype), du.astype(u.dtype),

@@ -116,6 +116,34 @@ def test_flash_grad_is_ref_vjp():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_flash_grad_chunked_bwd_equals_unchunked(monkeypatch):
+    """The lax.map batch-chunked backward (compile-helper guard for
+    conformer_l-scale score tiles) must match the single-shot VJP."""
+    from gasr_tpu.ops.pallas import flash_mhsa as fm
+    B, H, T, dh = 4, 2, 16, 8
+    D = H * dh
+    ks = jax.random.split(jax.random.PRNGKey(9), 7)
+    q, k, v = (jax.random.normal(ks[i], (B, H, T, dh)) for i in range(3))
+    wr = jax.random.normal(ks[3], (D, D)) * 0.2
+    u = jax.random.normal(ks[4], (H, dh)) * 0.1
+    vb = jax.random.normal(ks[5], (H, dh)) * 0.1
+    lens = jnp.array([T, 9, T, 5], jnp.int32)
+    cot = jax.random.normal(ks[6], (B, H, T, dh))
+
+    def loss(q, k, v, wr, u, vb):
+        o = fm.flash_mhsa_rel(q, k, v, wr, u, vb, lens, out_f32=True,
+                              interpret=True)
+        return jnp.sum(o * cot)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))
+    g_one = jax.jit(grad)(q, k, v, wr, u, vb)
+    monkeypatch.setattr(fm, "_BWD_SCORE_BYTES", 1)   # force max chunking
+    g_chk = jax.jit(grad)(q, k, v, wr, u, vb)
+    for a, b in zip(g_one, g_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_flash_grad_matches_xla_path():
     """End-to-end: grads of the full mhsa_rel (projections + wo) via
     impl='pallas' vs impl='xla', both at bf16 compute — same math up to
