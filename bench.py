@@ -243,14 +243,18 @@ def measure_streaming(cfg, chunk_frames: int, iters=None, reps: int = 5):
     n_chunks = cfg.seg_len // chunk_frames
     assert n_chunks * chunk_frames == cfg.seg_len
 
+    L = cfg.decode_max_len
+
     def run_stream():
-        st = streaming_init(cfg.batch_size, cfg.beam_width,
-                            max_len=cfg.decode_max_len)
+        st = streaming_init(cfg.batch_size, cfg.beam_width, max_len=L)
         res = None
         for c in range(n_chunks):
+            # active-prefix bound: prefixes can't exceed frames-so-far
+            # + chunk; rounded to 64 so at most ~4 program variants
+            la = min(L, -(-((c + 1) * chunk_frames) // 64) * 64)
             st, res = streaming_step(
                 st, lp[c * chunk_frames:(c + 1) * chunk_frames],
-                blank_id=cfg.blank_id)
+                blank_id=cfg.blank_id, active_len=la)
         return res
 
     _log(f"compiling streaming decode ({n_chunks} x {chunk_frames})")

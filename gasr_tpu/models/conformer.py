@@ -187,16 +187,18 @@ def conformer_apply(config: Config, params: dict, x: jax.Array, mask=None,
     B, T, F = x.shape
 
     use_stem_kernel = False
-    if stem_impl in ("auto", "pallas"):
+    if stem_impl == "pallas":
+        # OPT-IN ONLY (measured negative result, r5 probes 2-3): the
+        # fused parity-plane kernel is exact and differentiable but
+        # measured 38.6 ms vs the XLA stem's 19.7 at conformer_l — the
+        # XLA-side plane pads/shifts/layout copies move ~5 GB of HBM,
+        # and with the mandatory 1.57 GB conv1 intermediate plus conv2's
+        # 9.2 ms MXU floor, the stem's true roofline is ~14-15 ms, so
+        # at most ~5 ms was ever recoverable from XLA's 19.7. "auto"
+        # therefore NEVER selects it; docs/KERNEL_PLAN.md closes the
+        # line of inquiry with the numbers.
         from gasr_tpu.ops.pallas.stem import stem_eligible
-        ok = stem_eligible(T, F, d, d)
-        if stem_impl == "pallas":
-            use_stem_kernel = ok
-        else:
-            # same dispatch contract as attention: the kernel computes
-            # at bf16, so auto takes it only under a bf16 policy on TPU
-            use_stem_kernel = (ok and cd == jnp.bfloat16
-                               and jax.default_backend() == "tpu")
+        use_stem_kernel = stem_eligible(T, F, d, d)
     if use_stem_kernel:
         # fused parity-plane stem (ops/pallas/stem.py): conv2 + clip +
         # sub_proj in one kernel, accumulators VMEM-resident;

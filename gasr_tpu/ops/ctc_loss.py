@@ -71,15 +71,22 @@ def ctc_loss(log_probs: jax.Array, labels: jax.Array,
     lp = jnp.where(pad[:, :, None],
                    onehot_blank[None, None, :], log_probs)        # [T, B, V]
 
-    # emission log-probs along z, gathered for ALL frames before the
-    # scan: [T, B, L]. The r4 train-step breakdown measured the CTC
-    # scan at 16.5 ms of an 86 ms flagship step — each of the 200
-    # sequential steps was paying a [B, V]->[B, L] gather dispatch for
-    # ~10k elements of real work. One batched gather + an unrolled
-    # elementwise-only scan body removes the overhead without changing
-    # a single arithmetic op (bit-identical losses; r5).
-    e_all = jnp.take_along_axis(
-        lp, jnp.broadcast_to(z[None], (T, B, L)), axis=2)         # [T, B, L]
+    # emission log-probs along z, materialized for ALL frames before
+    # the scan: [T, B, L]. The r5 train-step breakdown measured the
+    # CTC scan at 16.5 ms of an 86 ms flagship step — each of the 200
+    # sequential steps paid a [B, V]->[B, L] gather dispatch for ~10k
+    # elements of real work. A hoisted [T, B, L] take_along_axis was
+    # measured WORSE (25.8 ms: traced-index gathers are element-at-a-
+    # time on TPU — same lesson as the r4 streaming overlay), so the
+    # lookup is a one-hot matmul instead: e[t, b, l] = sum_v
+    # lp[t, b, v] onehot[b, l, v] rides the MXU, and Precision.HIGHEST
+    # (3-limb bf16 split, 24 mantissa bits) keeps f32 log-probs exact
+    # to the last ulp of the 1-sparse contraction.
+    onehot = (z[:, :, None]
+              == jnp.arange(V, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.float32)                               # [B, L, V]
+    e_all = jnp.einsum("tbv,blv->tbl", lp, onehot,
+                       precision=lax.Precision.HIGHEST)           # [T, B, L]
 
     valid_k = k[None, :] < ext_len[:, None]                       # [B, L]
 

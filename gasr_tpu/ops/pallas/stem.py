@@ -108,7 +108,8 @@ def _conv1_planes(x, w1, b1):
 
 
 def _kernel(pEE, pEE1, pEO, pEO1, pOE, pOO, w2, wp, b2, bp, out,
-            *, blk: int, F2: int, d: int, dout: int, out_dtype):
+            *, blk: int, F2: int, d: int, dout: int, out_dtype,
+            inner: str = "dot3d"):
     """One (batch, time-block) program; see module docstring.
 
     pEE/pEO: tE planes [1, F2+1 / F2, blk, d] (time rows t2..t2+blk-1)
@@ -116,34 +117,68 @@ def _kernel(pEE, pEE1, pEO, pEO1, pOE, pOO, w2, wp, b2, bp, out,
     pOE/pOO: tO planes (di=1 taps)
     w2: [9, d, d] (tap-major: 3*di+dj); wp: [F2, d, dout]
     b2: [1, d]; bp: [1, dout]
+
+    inner="dot3d": each tap contracts ALL F2 freqs in one 3D
+    dot_general ([F2, blk, d] x [d, d] -> 9 big matmuls + one
+    [F2, blk, d] x [F2, d, dout] double-contraction). The first cut
+    looped f2 and issued 10 small [blk, d] matmuls per freq — 200
+    MXU ops per program whose per-op overhead measured ~2x the whole
+    roofline (38.6 ms vs 19.9 XLA / ~9 analytic). "loop" keeps the
+    per-freq form for A/B.
     """
     f32 = jnp.float32
     bf = jnp.bfloat16
-    acc_out = jnp.zeros((blk, dout), f32)
-    for f2 in range(F2):
-        acc = jnp.broadcast_to(b2[...].astype(f32), (blk, d))
+
+    def tap_src(di, dj):
+        src = {
+            (0, 0): pEE, (0, 1): pEO,
+            (1, 0): pOE, (1, 1): pOO,
+            (2, 0): pEE1, (2, 1): pEO1,
+        }[(di, dj if dj < 2 else 0)]
+        a = 1 if dj == 2 else 0
+        return src, a
+
+    if inner == "dot3d":
+        acc = jnp.broadcast_to(b2[...].astype(f32), (F2, blk, d))
         for di in range(3):
             for dj in range(3):
-                src = {
-                    (0, 0): pEE, (0, 1): pEO,
-                    (1, 0): pOE, (1, 1): pOO,
-                    (2, 0): pEE1, (2, 1): pEO1,
-                }[(di, dj if dj < 2 else 0)]
-                f_idx = f2 + 1 if dj == 2 else f2
-                tile = src[0, f_idx]                   # [blk, d] bf16
+                src, a = tap_src(di, dj)
+                tile = src[0, a:a + F2]                # [F2, blk, d]
                 acc = acc + lax.dot_general(
-                    tile, w2[3 * di + dj], (((1,), (0,)), ((), ())),
+                    tile, w2[3 * di + dj], (((2,), (0,)), ((), ())),
                     preferred_element_type=f32)
-        h = jnp.clip(acc, 0.0, 20.0).astype(bf)
-        acc_out = acc_out + lax.dot_general(
-            h, wp[f2], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+        h = jnp.clip(acc, 0.0, 20.0).astype(bf)        # [F2, blk, d]
+        # sub_proj as a per-freq loop: a single [F2,blk,d]x[F2,d,dout]
+        # double contraction trips Mosaic ("lhs contracting dims must
+        # be of size 1", r5 probe 3); 20 [blk,d]@[d,dout] matmuls — on
+        # top of the 9 big tap dots — keep the op count at 29/program
+        acc_out = jnp.zeros((blk, dout), f32)
+        for f2 in range(F2):
+            acc_out = acc_out + lax.dot_general(
+                h[f2], wp[f2], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+    else:
+        acc_out = jnp.zeros((blk, dout), f32)
+        for f2 in range(F2):
+            acc = jnp.broadcast_to(b2[...].astype(f32), (blk, d))
+            for di in range(3):
+                for dj in range(3):
+                    src, a = tap_src(di, dj)
+                    tile = src[0, a + f2]              # [blk, d] bf16
+                    acc = acc + lax.dot_general(
+                        tile, w2[3 * di + dj],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+            h = jnp.clip(acc, 0.0, 20.0).astype(bf)
+            acc_out = acc_out + lax.dot_general(
+                h, wp[f2], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
     out[0] = (acc_out + bp[...].astype(f32)).astype(out_dtype)
 
 
 def _fused_stem_fwd(x, w1, b1, w2, b2, wproj, bproj,
                     blk: int = 64, interpret: bool = False,
-                    out_dtype=jnp.bfloat16):
+                    out_dtype=jnp.bfloat16, inner: str = "dot3d"):
     """x [B, T, F] -> stem output [B, T//4, dout] (= clip-conv1 ->
     clip-conv2 -> reshape(freq-major) -> sub_proj, all at bf16 operand
     / f32 accumulate resolution)."""
@@ -187,7 +222,7 @@ def _fused_stem_fwd(x, w1, b1, w2, b2, wproj, bproj,
 
     out = pl.pallas_call(
         functools.partial(_kernel, blk=blk, F2=F2, d=d, dout=dout,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, inner=inner),
         grid=grid,
         in_specs=[
             pspec(F2 + 1), pspec(F2 + 1),      # pEE, pEE1

@@ -183,3 +183,33 @@ def test_transcribe_audio_end_to_end():
     texts = pipe.transcribe_audio(audio, sample_rate=16000)
     assert len(texts) == 2
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_streaming_active_len_equals_default():
+    """The active-prefix bound (r5: skips the frozen tail of the
+    reorder+overlay pass) must be invisible in results — bit-equal
+    states and snapshots vs the default full-L path, across fuzzed
+    chunkings and both traceback impls' shapes."""
+    rng = np.random.default_rng(42)
+    for chunks, B, V, W, L in [([5, 5, 5], 3, 5, 6, 64),
+                               ([20, 20, 20, 20], 4, 7, 8, 128),
+                               ([1, 9, 2, 8], 2, 6, 4, 96)]:
+        T = sum(chunks)
+        lp = rand_logprobs(rng, T, B, V)
+        sa = streaming_init(B, W, max_len=L)
+        sb = streaming_init(B, W, max_len=L)
+        t = 0
+        for i, c in enumerate(chunks):
+            chunk = jnp.asarray(lp[t:t + c])
+            la = min(L, -(-(t + c) // 16) * 16)
+            sa, ra = streaming_step(sa, chunk, active_len=la)
+            sb, rb = streaming_step(sb, chunk)
+            t += c
+            np.testing.assert_array_equal(np.asarray(sa.tokens),
+                                          np.asarray(sb.tokens))
+            np.testing.assert_array_equal(np.asarray(sa.timesteps),
+                                          np.asarray(sb.timesteps))
+            np.testing.assert_array_equal(np.asarray(ra.lengths),
+                                          np.asarray(rb.lengths))
+            np.testing.assert_allclose(np.asarray(ra.scores),
+                                       np.asarray(rb.scores))
