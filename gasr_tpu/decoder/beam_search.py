@@ -97,11 +97,21 @@ class _BeamState(NamedTuple):
 
 
 class StreamingState(NamedTuple):
-    """Carried across chunks: beam + materialized prefixes."""
+    """Carried across chunks: beam + materialized prefixes.
+
+    Two buffer layouts (r5): the default PUBLIC layout keeps
+    tokens/timesteps as [B, W, max_len], meta empty. When the fused
+    traceback+overlay kernel drives the stream (TPU pallas path), the
+    buffers stay in KERNEL layout [B, Lp, 128] (positions on sublanes,
+    beam slots on lanes — no per-chunk transposes) and `meta` is a
+    [max_len] dummy whose SHAPE statically records max_len; user
+    snapshots returned by streaming_step are always [B, W, max_len].
+    """
     beam: _BeamState
-    tokens: jax.Array     # [B, W, max_len] int32
+    tokens: jax.Array     # [B, W, max_len] int32 (or kernel layout)
     timesteps: jax.Array  # [B, W, max_len] int32 (absolute frame index)
     frames: jax.Array     # [] int32: total frames consumed so far
+    meta: jax.Array = np.zeros((0,), np.int32)  # [max_len] iff kernel layout
 
 
 def _logaddexp(a, b):
@@ -874,7 +884,8 @@ def streaming_step(
     log_domain = not prob_domain
     Tc, B, V = chunk_log_probs.shape
     W = state.beam.s1.shape[1]
-    L = state.tokens.shape[2]
+    fast_in = state.meta.shape[0] > 0
+    L = state.meta.shape[0] if fast_in else state.tokens.shape[2]
     if lm_bias is not None:
         lm_bias = lm_bias.astype(jnp.bfloat16).astype(jnp.float32) + 0.0
 
@@ -893,6 +904,48 @@ def streaming_step(
 
         final, packed_ys = lax.scan(
             frame_step, state.beam, (chunk_log_probs, is_last_arr))
+
+    from gasr_tpu.ops.pallas.fused_decode import (
+        traceback_overlay_blk, traceback_overlay_pallas)
+    use_fused_tb = (tb_impl == "pallas"
+                    and traceback_overlay_blk(L) >= 8)
+    if use_fused_tb:
+        # fused traceback + beam reorder + overlay: ONE kernel per
+        # chunk, state buffers carried in kernel layout across chunks
+        # (the r5 stage profile measured the per-chunk XLA reorder +
+        # overlay fusions as the whole streaming-vs-batch gap)
+        interpret = jax.default_backend() != "tpu"
+        Lp = -(-(L + 1) // 8) * 8
+        SK = 128
+        if fast_in:
+            base_tok, base_ts = state.tokens, state.timesteps
+        else:
+            def to_kernel(buf):
+                t = jnp.transpose(buf, (0, 2, 1))        # [B, L, W]
+                return jnp.pad(t, ((0, 0), (0, Lp - L), (0, SK - W)),
+                               constant_values=-1)
+            base_tok = to_kernel(state.tokens)
+            base_ts = to_kernel(state.timesteps)
+        tok_k, ts_k, _ = traceback_overlay_pallas(
+            packed_ys, final.length, L, base_tok, base_ts,
+            state.frames, interpret=interpret)
+        tokens = jnp.transpose(tok_k[:, :L, :W], (0, 2, 1))
+        timesteps = jnp.transpose(ts_k[:, :L, :W], (0, 2, 1))
+        new_state = StreamingState(beam=final, tokens=tok_k,
+                                   timesteps=ts_k,
+                                   frames=state.frames + Tc,
+                                   meta=jnp.zeros((L,), jnp.int32))
+        return new_state, _result(final, tokens, timesteps, L,
+                                  algorithm, log_domain)
+
+    if fast_in:
+        # kernel-layout state but this chunk can't take the fused
+        # kernel (e.g. merge_impl changed mid-stream): convert back
+        def from_kernel(buf):
+            return jnp.transpose(buf[:, :L, :W], (0, 2, 1))
+        state = state._replace(tokens=from_kernel(state.tokens),
+                               timesteps=from_kernel(state.timesteps),
+                               meta=np.zeros((0,), np.int32))
 
     La = L if active_len is None else max(8, min(L, active_len))
     tokens, timesteps, _ = _traceback(

@@ -1533,11 +1533,25 @@ def traceback_vmem_blk(L: int) -> int:
     blk = (_TB_OUT_BUDGET // per_row) // 8 * 8
     return max(0, min(64, blk))
 
-def _tb_kernel(ys_ref, len_ref, tok_ref, ts_ref, cur_fin_ref,
-               cur_scr, pos_scr, *, TBLK: int, L: int, Lp: int):
+def _tb_kernel(ys_ref, len_ref, *rest, TBLK: int, L: int, Lp: int,
+               fused: bool):
     # grid = (batch blocks, frame blocks); frame blocks walk t backwards
     # and are the fast axis, so (cur, pos) scratch and the token output
     # block stay resident in VMEM for a full batch block's walk.
+    #
+    # fused=True (r5 streaming): two extra inputs — base token /
+    # timestep blocks in kernel layout [Bb, Lp, S] plus a [1] SMEM
+    # frame-offset — and after the walk's LAST frame block the base
+    # beam reorder (lane-dim dynamic_gather by start_parent: S = 128
+    # is exactly one lane vreg, the Mosaic-safe gather form) and the
+    # overlay merge run IN-KERNEL, so the per-chunk streaming overlay
+    # costs zero extra XLA fusions (the r5 stage profile measured the
+    # streaming-vs-batch gap as per-op dispatch, not bytes).
+    if fused:
+        (bt_ref, bts_ref, toff_ref, tok_ref, ts_ref, cur_fin_ref,
+         cur_scr, pos_scr) = rest
+    else:
+        (tok_ref, ts_ref, cur_fin_ref, cur_scr, pos_scr) = rest
     it = pl.program_id(1)
     Bb = len_ref.shape[0]
 
@@ -1570,11 +1584,34 @@ def _tb_kernel(ys_ref, len_ref, tok_ref, ts_ref, cur_fin_ref,
         ts = jnp.where(hit, g0 + j, ts)
         cur = parent
         pos = pos - app
-    tok_ref[:] = tok
-    ts_ref[:] = ts
     cur_scr[:] = cur
     pos_scr[:] = pos
     cur_fin_ref[:] = cur
+    if not fused:
+        tok_ref[:] = tok
+        ts_ref[:] = ts
+        return
+
+    @pl.when(it < nblk - 1)
+    def _():
+        tok_ref[:] = tok
+        ts_ref[:] = ts
+
+    @pl.when(it == nblk - 1)
+    def _():
+        # walk done: cur is the start_parent. Reorder the base buffers
+        # by it (gather along the 128-lane slot dim) and merge: chunk
+        # emissions (tok >= 0) win, at absolute timestep walk_ts+toff.
+        idx = jnp.broadcast_to(cur[:, None, :], (Bb, Lp, S))
+        btg = jnp.take_along_axis(
+            bt_ref[:].reshape(Bb * Lp, S),
+            idx.reshape(Bb * Lp, S), axis=1).reshape(Bb, Lp, S)
+        btsg = jnp.take_along_axis(
+            bts_ref[:].reshape(Bb * Lp, S),
+            idx.reshape(Bb * Lp, S), axis=1).reshape(Bb, Lp, S)
+        emitted = tok >= 0
+        tok_ref[:] = jnp.where(emitted, tok, btg)
+        ts_ref[:] = jnp.where(emitted, ts + toff_ref[0], btsg)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret", "tblk"))
@@ -1633,7 +1670,8 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
                       14 * blk1 + 2 * in_bytes + 6 * 2**20)
 
     tok, trel, cur_fin = pl.pallas_call(
-        functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp),
+        functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp,
+                          fused=False),
         grid=(nB, nT),
         in_specs=[
             pl.BlockSpec((TBLK, BBLK, S), lambda b, t: (nT - 1 - t, b, 0),
@@ -1665,3 +1703,117 @@ def traceback_pallas(packed_ys: jax.Array, final_lengths: jax.Array,
     trel = jnp.transpose(trel[:B0, :L, :Sp], (0, 2, 1))
     trel = jnp.where(trel >= 0, trel - t_pad, -1)
     return tok, trel, cur_fin[:B0, :Sp]
+
+
+def traceback_overlay_blk(L: int) -> int:
+    """Fused-overlay batch block: the kernel holds 4 persistent
+    [BBLK, Lp, S] blocks (2 base inputs + 2 outputs) plus gather
+    temporaries, so the per-row budget halves vs the plain walk."""
+    Lp = _round_up(L + 1, 8)
+    per_row = 4 * Lp * S * 4
+    blk = (_TB_OUT_BUDGET // per_row) // 8 * 8
+    return max(0, min(64, blk))
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret", "tblk"))
+def traceback_overlay_pallas(packed_ys: jax.Array,
+                             final_lengths: jax.Array, L: int,
+                             base_tok: jax.Array, base_ts: jax.Array,
+                             t_offset: jax.Array,
+                             interpret: bool = False, tblk: int = 8):
+    """Streaming traceback + base reorder + overlay in ONE kernel.
+
+    packed_ys: [Tc, B, S'] chunk backpointers; final_lengths: [B, S']
+    ABSOLUTE lengths at chunk end; base_tok/base_ts: [B, Lp, S]
+    KERNEL-LAYOUT prefix buffers from the previous chunk (positions on
+    sublanes, beam slots on lanes — what this function itself returned
+    last chunk); t_offset: [] int32 absolute frame index of the
+    chunk's first frame. Returns (tok_k, ts_k [B, Lp, S], start_parent
+    [B, S']): the merged buffers in kernel layout (pad lanes/rows
+    carry garbage; rows >= L and lanes >= S' are never exposed — the
+    streaming caller slices/transposes only for user snapshots).
+
+    Why: the r5 streaming stage profile attributed the whole
+    streaming-vs-batch gap (~1.3 ms/chunk) to per-fusion dispatch of
+    the XLA reorder einsum + Tc-select overlay, not to bytes. Fusing
+    them into the walk kernel makes the per-chunk traceback cost ONE
+    launch. The reorder is a lane-dim dynamic_gather (S = 128 = one
+    lane vreg — the only Mosaic-safe same-shape gather form, r4).
+    """
+    Tc, B0, Sp = packed_ys.shape
+    if Sp < S:
+        packed_ys = jnp.pad(packed_ys, ((0, 0), (0, 0), (0, S - Sp)))
+        final_lengths = jnp.pad(final_lengths, ((0, 0), (0, S - Sp)))
+    TBLK = tblk
+    t_pad = (-Tc) % TBLK
+    if t_pad:
+        ident = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None, None, :],
+            (t_pad, B0, S))
+        packed_ys = jnp.concatenate([ident, packed_ys], axis=0)
+    Tp = Tc + t_pad
+
+    Lp = _round_up(L + 1, 8)
+    assert base_tok.shape[1:] == (Lp, S), (base_tok.shape, Lp)
+    BBLK = min(traceback_overlay_blk(L), _round_up(B0, 8))
+    if BBLK < 8:
+        raise ValueError(
+            f"traceback_overlay_pallas cannot fit max_len={L}; callers "
+            f"must gate on traceback_overlay_blk")
+    b_pad = (-B0) % BBLK
+    if b_pad:
+        packed_ys = jnp.pad(packed_ys, ((0, 0), (0, b_pad), (0, 0)))
+        final_lengths = jnp.pad(final_lengths, ((0, b_pad), (0, 0)))
+        base_tok = jnp.pad(base_tok, ((0, b_pad), (0, 0), (0, 0)))
+        base_ts = jnp.pad(base_ts, ((0, b_pad), (0, 0), (0, 0)))
+    B = B0 + b_pad
+    nB, nT = B // BBLK, Tp // TBLK
+
+    blk1 = BBLK * Lp * S * 4
+    in_bytes = (TBLK * BBLK * S + BBLK * S) * 4
+    # 4 persistent blocks + gather temporaries (idx + 2 gathered) and
+    # the same context-dependent double-buffering slack as the plain
+    # walk kernel
+    vmem_budget = min(110 * 2**20,
+                      20 * blk1 + 2 * in_bytes + 6 * 2**20)
+    # walk timesteps are relative to the PADDED chunk; fold the
+    # identity-frame shift into the offset added in-kernel
+    toff_adj = (jnp.asarray(t_offset, jnp.int32)
+                - jnp.int32(t_pad)).reshape(1)
+
+    tok, ts, cur_fin = pl.pallas_call(
+        functools.partial(_tb_kernel, TBLK=TBLK, L=L, Lp=Lp,
+                          fused=True),
+        grid=(nB, nT),
+        in_specs=[
+            pl.BlockSpec((TBLK, BBLK, S), lambda b, t: (nT - 1 - t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BBLK, S), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b, t: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BBLK, Lp, S), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BBLK, S), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Lp, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, Lp, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, S), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BBLK, S), jnp.int32),
+                        pltpu.VMEM((BBLK, S), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_budget)),
+    )(packed_ys, final_lengths, base_tok, base_ts, toff_adj)
+    return tok[:B0], ts[:B0], cur_fin[:B0, :Sp]
