@@ -246,15 +246,15 @@ def measure_streaming(cfg, chunk_frames: int, iters=None, reps: int = 5):
     L = cfg.decode_max_len
 
     def run_stream():
+        # the fused traceback+reorder+overlay kernel path (r5) carries
+        # kernel-layout state; no active_len hint needed (that bound
+        # only trims the XLA-overlay fallback path)
         st = streaming_init(cfg.batch_size, cfg.beam_width, max_len=L)
         res = None
         for c in range(n_chunks):
-            # active-prefix bound: prefixes can't exceed frames-so-far
-            # + chunk; rounded to 64 so at most ~4 program variants
-            la = min(L, -(-((c + 1) * chunk_frames) // 64) * 64)
             st, res = streaming_step(
                 st, lp[c * chunk_frames:(c + 1) * chunk_frames],
-                blank_id=cfg.blank_id, active_len=la)
+                blank_id=cfg.blank_id)
         return res
 
     _log(f"compiling streaming decode ({n_chunks} x {chunk_frames})")
