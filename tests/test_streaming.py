@@ -213,3 +213,27 @@ def test_streaming_active_len_equals_default():
                                           np.asarray(rb.lengths))
             np.testing.assert_allclose(np.asarray(ra.scores),
                                        np.asarray(rb.scores))
+
+
+def test_streaming_layout_fallback_mid_stream():
+    """Kernel-layout state (fused pallas chunks) followed by an XLA
+    chunk (merge_impl='matched') must convert back transparently —
+    results equal an all-XLA stream bit-for-bit (the pallas scan is
+    array-equal to matched by contract)."""
+    rng = np.random.default_rng(7)
+    T, B, V, W, L = 15, 2, 5, 6, 32
+    lp = rand_logprobs(rng, T, B, V)
+    sa = streaming_init(B, W, max_len=L)
+    sb = streaming_init(B, W, max_len=L)
+    impls_a = ["pallas", "pallas", "matched"]   # fallback on chunk 3
+    for c in range(3):
+        chunk = jnp.asarray(lp[c * 5:(c + 1) * 5])
+        sa, ra = streaming_step(sa, chunk, merge_impl=impls_a[c])
+        sb, rb = streaming_step(sb, chunk, merge_impl="matched")
+    assert sa.meta.shape[0] == 0          # back to public layout
+    np.testing.assert_array_equal(np.asarray(sa.tokens),
+                                  np.asarray(sb.tokens))
+    np.testing.assert_array_equal(np.asarray(ra.timesteps),
+                                  np.asarray(rb.timesteps))
+    np.testing.assert_array_equal(np.asarray(ra.lengths),
+                                  np.asarray(rb.lengths))
