@@ -886,11 +886,11 @@ def fused_prefix_decode(log_probs: jax.Array, init_packed: jax.Array,
         # grid temporaries double with VPX: halve the batch tile
         # (keeps the footprint near the VPX=128 default's)
         block_b = min(block_b, 8)
-    if interpret:
-        # CPU interpret mode (tests) executes the kernel body per grid
-        # step at full block size: don't pad tiny batches to block_b
-        # rows of wasted work
-        block_b = min(block_b, max(8, _round_up(B, 8)))
+    # never pad a small batch up to block_b rows of wasted VPU work —
+    # B=16 presets at the default block_b=32 were running 2x the
+    # sublane rows on hardware (r5 small-preset audit; previously this
+    # clamp was interpret-only)
+    block_b = min(block_b, max(8, _round_up(B, 8)))
     # trimmed grid rows, rounded so Rg = Wg/pack stays a multiple of 8
     # (sublane slices at non-8-aligned offsets do not lower in Mosaic)
     Wg = max(8 * pack, _round_up(W, 8 * pack))
