@@ -751,11 +751,14 @@ def _use_pallas(merge_impl, algorithm, log_domain, W, V, topk_impl,
                 and topk_impl == "exact" and lm_ok
                 and shape_ok)
     if merge_impl == "auto":
-        # measured TPU crossover (post row-trim): W=32,V=29 (W*V=928)
-        # wins 1.15x; W=10,V=29 (290) loses 0.95x. Small grids stay on
-        # the XLA path. Interpret mode (CPU) is test-only/slow.
-        return (eligible and W * V >= 768
-                and jax.default_backend() == "tpu")
+        # r2 measured a W*V >= 768 crossover (W=10,V=29 lost 0.95x) —
+        # but that was WITH the block_b bug that padded small batches
+        # to 32 sublane rows (r5 small-preset audit). Post-clamp the
+        # kernel wins even at the smallest preset shape (bilstm W=10
+        # V=29 B=16: pallas 7.68 ms vs matched 12.08 on TPU v5e), so
+        # auto takes the kernel whenever eligible on TPU. Interpret
+        # mode (CPU) is test-only/slow.
+        return eligible and jax.default_backend() == "tpu"
     if merge_impl != "pallas":
         return False
     if not (algorithm == "prefix" and log_domain):

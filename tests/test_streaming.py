@@ -237,3 +237,23 @@ def test_streaming_layout_fallback_mid_stream():
                                   np.asarray(rb.timesteps))
     np.testing.assert_array_equal(np.asarray(ra.lengths),
                                   np.asarray(rb.lengths))
+
+
+def test_streaming_large_chunk_fused():
+    """Chunks larger than 128 frames (the old chunk-relative path's
+    cap) ride the fused traceback+overlay kernel too — equality vs
+    batch for a 150+50 split."""
+    rng = np.random.default_rng(11)
+    T, B, V, W, L = 200, 2, 5, 6, 64
+    lp = rand_logprobs(rng, T, B, V)
+    full = ctc_beam_search(jnp.asarray(lp), beam_width=W, max_len=L,
+                           merge_impl="pallas")
+    st = streaming_init(B, W, max_len=L)
+    res = None
+    for lo, hi in [(0, 150), (150, 200)]:
+        st, res = streaming_step(st, jnp.asarray(lp[lo:hi]),
+                                 merge_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(full.tokens))
+    np.testing.assert_array_equal(np.asarray(res.timesteps),
+                                  np.asarray(full.timesteps))
